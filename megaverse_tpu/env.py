@@ -1,0 +1,109 @@
+"""Single-environment step function assembly.
+
+The reference's Env::step (env.cpp:83-152) — action decode, scenario preStep,
+Bullet stepSimulation, scenario step, timers, reward accumulation — becomes one
+pure function `env_step` over an EnvState pytree, plus a masked auto-reset that
+consumes a pre-generated episode layout (replacing VectorEnv's serial reset of
+done envs, vector_env.cpp:89-108). `env_step` is unbatched; the vector env
+vmaps it over the environment batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.ops import physics as P
+from megaverse_tpu.ops import raycast as R
+from megaverse_tpu.scenarios.base import Scenario
+from megaverse_tpu.types import (
+    EnvState,
+    SceneData,
+    state_from_scene,
+    tree_select,
+)
+
+
+class StepResult(NamedTuple):
+    state: EnvState
+    obs: jax.Array          # uint8 [A, H, W, 3]
+    reward: jax.Array       # f32 [A]
+    done: jax.Array         # bool scalar (pre-reset, ref bindings semantics)
+    true_objective: jax.Array  # f32 [A] captured pre-reset (vector_env.cpp:96-103)
+
+
+def env_step(
+    scenario: Scenario,
+    state: EnvState,
+    next_scene: SceneData,
+    action: jax.Array,     # int32 [A] bitmask
+    shaping: jax.Array,    # f32 [A, K]
+    render_obs: bool = True,
+) -> StepResult:
+    cfg = scenario.cfg
+    dt = cfg.dt
+    vlimit = cfg.param(C.P_VERTICAL_LOOK_LIMIT)
+
+    # Controls (env.cpp:89-122).
+    agents = P.apply_look(state.agents, action, dt, vlimit)
+    agents = P.apply_acceleration(agents, action, dt)
+    state = state.replace(agents=agents)
+
+    # Scenario preStep (env.cpp:124).
+    state = scenario.pre_physics(state, action)
+
+    # Physics (env.cpp:126: bWorld.stepSimulation -> KCC playerStep per agent).
+    agents = P.player_step(cfg.grid, state.vtype, state.agents, dt)
+    agents = P.resolve_agent_collisions(agents)
+    state = state.replace(agents=agents)
+
+    # Scenario logic + rewards (env.cpp:131).
+    state, reward = scenario.scen_step(state, action, shaping)
+
+    # Timers (env.cpp:133-151). scen_step may have bumped episode_sec via
+    # doneWithTimer semantics before the += dt.
+    episode_sec = state.episode_sec + dt
+    done = state.done | (episode_sec >= state.episode_len_sec)
+    state = state.replace(
+        episode_sec=episode_sec,
+        done=done,
+        last_reward=reward,
+        total_reward=state.total_reward + reward,
+        num_frames=state.num_frames + 1,
+    )
+
+    # Capture trueObjective before auto-reset (vector_env.cpp:94-103).
+    true_objective = state.true_objective
+
+    # Masked auto-reset from the pre-generated layout.
+    rng, sub = jax.random.split(state.rng)
+    fresh = state_from_scene(next_scene, cfg.num_agents, sub)
+    state = tree_select(done, fresh, state.replace(rng=rng))
+
+    if render_obs:
+        obs = render_state(scenario, state)
+    else:
+        obs = jnp.zeros((cfg.num_agents, cfg.obs_height, cfg.obs_width, 3), jnp.uint8)
+
+    return StepResult(state, obs, reward, done, true_objective)
+
+
+def render_state(scenario: Scenario, state: EnvState) -> jax.Array:
+    """Observations for the current state (post-reset frame for done envs,
+    matching vector_env.cpp:94-107 draw ordering)."""
+    cfg = scenario.cfg
+    remaining = jnp.maximum(
+        0.0, (state.episode_len_sec - state.episode_sec) / state.episode_len_sec
+    )
+    return R.render(
+        cfg,
+        state.box_lo,
+        state.box_hi,
+        state.box_color,
+        state.props,
+        state.agents,
+        remaining,
+    )

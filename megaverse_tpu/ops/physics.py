@@ -1,0 +1,269 @@
+"""Batched kinematic character controller.
+
+Reimplements the *semantics* of the reference's modified Bullet
+btKinematicCharacterController (env/src/kinematic_character_controller.cpp:528-602:
+stepUp -> stepForwardAndStrafe -> stepDown -> penetration recovery, plus the
+acceleration model in setAcceleration, kcc.cpp:753-792) as a branch-free batched
+program over a dense voxel grid. Convex sweeps against axis-aligned voxel
+geometry reduce to column scans (grid.highest_floor_below / lowest_ceiling_above)
+and per-axis slide clamping, which replaces the iterative Quake2-style slide loop
+(kcc.cpp:337-393) for axis-aligned worlds.
+
+The agent capsule (r=0.33, cylinder h=1.05; agent.cpp:52-54) is treated as its
+bounding box for grid collision: half extents (0.33, 0.855, 0.33).
+
+All functions operate on one environment (agents batched along the leading axis)
+and are vmapped over the environment batch by the vector env.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.ops import grid as G
+from megaverse_tpu.types import AgentState, GridConfig
+
+HALF_XZ = C.AGENT_CAPSULE_RADIUS        # 0.33
+HALF_Y = C.AGENT_HALF_HEIGHT            # 0.855
+# Maximum vertical travel in one tick: terminal velocity * dt at 15 Hz, plus the
+# step offset. Static bound for the column scans.
+MAX_DROP = C.KCC_FALL_SPEED * C.DEFAULT_DT + C.KCC_STEP_HEIGHT + 0.1
+MAX_RISE = C.KCC_JUMP_SPEED * C.DEFAULT_DT + C.KCC_STEP_HEIGHT + 0.1
+CLAMP_MARGIN = 1e-3
+
+
+def _span_xz(cfg: GridConfig) -> Tuple[int, int]:
+    s = G.span_for(cfg, (2 * HALF_XZ, 2 * HALF_XZ))
+    return (s[0], s[1])
+
+
+def forward_dir(yaw: jax.Array) -> jax.Array:
+    """Forward direction from yaw (ref agent.cpp:135-142: -Z forward at yaw 0)."""
+    return jnp.stack([-jnp.sin(yaw), jnp.zeros_like(yaw), -jnp.cos(yaw)], axis=-1)
+
+
+def strafe_left_dir(yaw: jax.Array) -> jax.Array:
+    """Strafe-left direction (ref agent.cpp:144-150: -X at yaw 0)."""
+    return jnp.stack([-jnp.cos(yaw), jnp.zeros_like(yaw), jnp.sin(yaw)], axis=-1)
+
+
+def apply_look(agents: AgentState, action: jax.Array, dt: float, vertical_limit: float) -> AgentState:
+    """Yaw / pitch integration (ref env.cpp:105-113, agent.cpp:100-126)."""
+    look_l = (action & C.ACTION_LOOK_LEFT) != 0
+    look_r = (action & C.ACTION_LOOK_RIGHT) != 0
+    dyaw = jnp.where(look_l, C.AGENT_ROTATE_RADIANS * dt,
+                     jnp.where(look_r, -C.AGENT_ROTATE_RADIANS * dt, 0.0))
+    yaw = agents.yaw + dyaw
+
+    look_u = (action & C.ACTION_LOOK_UP) != 0
+    look_d = (action & C.ACTION_LOOK_DOWN) != 0
+    dpitch = jnp.where(
+        look_u, C.AGENT_ROTATE_X_RADIANS * dt,
+        jnp.where(look_d, -C.AGENT_ROTATE_X_RADIANS * dt * C.AGENT_LOOK_DOWN_FACTOR, 0.0),
+    )
+    pitch = jnp.clip(agents.pitch + dpitch, -vertical_limit, vertical_limit)
+    return agents.replace(yaw=yaw, pitch=pitch)
+
+
+def apply_acceleration(agents: AgentState, action: jax.Array, dt: float) -> AgentState:
+    """Acceleration + jump from the action bitmask.
+
+    Mirrors env.cpp:89-122 (direction selection, jump) and
+    kcc.cpp setAcceleration:753-792 (ground/air acceleration model).
+    """
+    fwd = forward_dir(agents.yaw)
+    left = strafe_left_dir(agents.yaw)
+
+    a_fwd = ((action & C.ACTION_FORWARD) != 0).astype(jnp.float32) - jnp.where(
+        (action & C.ACTION_FORWARD) == 0, ((action & C.ACTION_BACKWARD) != 0).astype(jnp.float32), 0.0
+    )
+    a_left = ((action & C.ACTION_LEFT) != 0).astype(jnp.float32) - jnp.where(
+        (action & C.ACTION_LEFT) == 0, ((action & C.ACTION_RIGHT) != 0).astype(jnp.float32), 0.0
+    )
+    acc = fwd * a_fwd[..., None] + left * a_left[..., None]
+
+    on_ground = agents.on_ground
+    acc_mag = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    max_acc = jnp.where(on_ground, C.KCC_MAX_ACCELERATION, C.KCC_MAX_AIR_ACCELERATION)[..., None]
+    acc = jnp.where(acc_mag > C.KCC_EPSILON, acc * max_acc / jnp.maximum(acc_mag, 1e-9), 0.0)
+
+    hvel = agents.hvel
+    # Ground branch: accelerate then enforce speed limit (kcc.cpp:764-781).
+    g_vel = hvel + acc * dt
+    g_speed = jnp.linalg.norm(g_vel, axis=-1)
+    dv = C.KCC_OVERSPEED_DECELERATION * dt
+    over = g_speed > C.KCC_MAX_HORIZONTAL_SPEED
+    scale_hard = (g_speed - dv) / jnp.maximum(g_speed, 1e-9)
+    scale_soft = C.KCC_MAX_HORIZONTAL_SPEED / jnp.maximum(g_speed, 1e-9)
+    g_scale = jnp.where(over, jnp.where(g_speed - dv > C.KCC_MAX_HORIZONTAL_SPEED, scale_hard, scale_soft), 1.0)
+    g_vel = g_vel * g_scale[..., None]
+
+    # Air branch: only accept the new velocity if it stays under the air speed
+    # cap or decreases speed (kcc.cpp:782-791).
+    a_vel = hvel + acc * dt
+    a_speed = jnp.linalg.norm(a_vel, axis=-1)
+    cur_speed = jnp.linalg.norm(hvel, axis=-1)
+    a_ok = (a_speed <= C.KCC_MAX_AIR_SPEED) | (a_speed < cur_speed)
+    a_vel = jnp.where(a_ok[..., None], a_vel, hvel)
+
+    hvel = jnp.where(on_ground[..., None], g_vel, a_vel)
+
+    # Jump (env.cpp:120-121, agent.cpp:157-161).
+    do_jump = ((action & C.ACTION_JUMP) != 0) & on_ground
+    vvel = jnp.where(do_jump, C.KCC_JUMP_SPEED, agents.vvel)
+    jumping = agents.jumping | do_jump
+
+    return agents.replace(hvel=hvel, vvel=vvel, jumping=jumping)
+
+
+def _slide_axis(cfg: GridConfig, vtype: jax.Array, pos: jax.Array, axis: int, delta: jax.Array) -> jax.Array:
+    """Move along one horizontal axis with wall clamping.
+
+    |delta| must be < voxel_size and < HALF_XZ (true at 15 Hz: max 0.3 m/tick),
+    so at most one new voxel column can be entered.
+    """
+    he = jnp.array([HALF_XZ, HALF_Y, HALF_XZ], jnp.float32)
+    new_pos = pos.at[..., axis].add(delta)
+    lo = new_pos - he
+    hi = new_pos + he
+
+    sx, sz = _span_xz(cfg)
+    sy = G.span_for(cfg, (2 * HALF_Y,))[0]
+    hit = G.aabb_hits_solid(cfg, vtype, lo, hi, (sx, sy, sz))
+
+    # Clamp against the face-adjacent voxel boundary.
+    moving_pos = delta > 0
+    face = new_pos[..., axis] + jnp.where(moving_pos, he[axis], -he[axis])
+    iface = G.axis_index(cfg, axis, face + jnp.where(moving_pos, -G.BOUNDARY_EPS, G.BOUNDARY_EPS))
+    boundary = cfg.origin[axis] + jnp.where(
+        moving_pos, iface.astype(jnp.float32), iface.astype(jnp.float32) + 1.0
+    ) * cfg.voxel_size
+    clamped = jnp.where(
+        moving_pos, boundary - he[axis] - CLAMP_MARGIN, boundary + he[axis] + CLAMP_MARGIN
+    )
+    # Clamp only up to (never past) the attempted position.
+    clamped = jnp.where(
+        moving_pos,
+        jnp.minimum(clamped, new_pos[..., axis]),
+        jnp.maximum(clamped, new_pos[..., axis]),
+    )
+    out = jnp.where(hit, clamped, new_pos[..., axis])
+    return pos.at[..., axis].set(jnp.where(jnp.abs(delta) > 0, out, pos[..., axis]))
+
+
+def player_step(
+    cfg: GridConfig,
+    vtype: jax.Array,
+    agents: AgentState,
+    dt: float,
+) -> AgentState:
+    """One physics tick for all agents (ref playerStep, kcc.cpp:528-602)."""
+    pos0 = agents.pos
+    was_on_ground = agents.on_ground
+
+    # Gravity + velocity clamps (kcc.cpp:556-562).
+    vvel = agents.vvel - C.KCC_GRAVITY * dt
+    vvel = jnp.minimum(vvel, C.KCC_JUMP_SPEED)
+    vvel = jnp.maximum(vvel, -C.KCC_FALL_SPEED)
+    voffset = vvel * dt
+
+    pos = pos0
+    top = pos[..., 1] + HALF_Y
+    x0 = pos[..., 0] - HALF_XZ
+    x1 = pos[..., 0] + HALF_XZ
+    z0 = pos[..., 2] - HALF_XZ
+    z1 = pos[..., 2] + HALF_XZ
+
+    # --- stepUp (kcc.cpp:223-304) ---
+    step_h = jnp.where(vvel < 0, C.KCC_STEP_HEIGHT, 0.0)
+    up_dist = step_h + jnp.maximum(voffset, 0.0)
+    ceil_y, ceil_found = G.lowest_ceiling_above(
+        cfg, vtype, x0, x1, z0, z1, top, MAX_RISE, _span_xz(cfg)
+    )
+    free_rise = jnp.where(ceil_found, jnp.maximum(ceil_y - top - CLAMP_MARGIN, 0.0), jnp.inf)
+    blocked_up = free_rise < up_dist
+    rise = jnp.minimum(up_dist, free_rise)
+    pos = pos.at[..., 1].add(rise)
+
+    # step offset bookkeeping (kcc.cpp:264-303)
+    frac = rise / jnp.maximum(up_dist, 1e-9)
+    step_offset = jnp.where(
+        blocked_up,
+        jnp.where(voffset > 0, C.KCC_STEP_HEIGHT, step_h * frac),
+        step_h,
+    )
+    hit_ceiling_rising = blocked_up & (voffset > 0)
+    vvel = jnp.where(hit_ceiling_rising, 0.0, vvel)
+    voffset = jnp.where(hit_ceiling_rising, 0.0, voffset)
+
+    # --- stepForwardAndStrafe (kcc.cpp:337-393), per-axis slide ---
+    pos = _slide_axis(cfg, vtype, pos, 0, agents.hvel[..., 0] * dt)
+    pos = _slide_axis(cfg, vtype, pos, 2, agents.hvel[..., 2] * dt)
+
+    # --- stepDown (kcc.cpp:400-442) ---
+    down_vel = jnp.where(vvel < 0, -vvel, 0.0)
+    clamp_fall = (down_vel > 0) & (down_vel > C.KCC_FALL_SPEED) & (was_on_ground | ~agents.jumping)
+    down_vel = jnp.where(clamp_fall, C.KCC_FALL_SPEED, down_vel)
+    drop = step_offset + down_vel * dt
+
+    bottom = pos[..., 1] - HALF_Y
+    floor_y, floor_found = G.highest_floor_below(
+        cfg, vtype,
+        pos[..., 0] - HALF_XZ, pos[..., 0] + HALF_XZ,
+        pos[..., 2] - HALF_XZ, pos[..., 2] + HALF_XZ,
+        bottom, MAX_DROP, _span_xz(cfg),
+    )
+    # Land if a floor top lies within the drop distance below (or at) the capsule
+    # bottom.
+    land = floor_found & (floor_y >= bottom - drop)
+    new_bottom = jnp.where(land, floor_y, bottom - drop)
+    pos = pos.at[..., 1].set(new_bottom + HALF_Y)
+
+    vvel = jnp.where(land, 0.0, vvel)
+    voffset = jnp.where(land, 0.0, voffset)
+    jumping = jnp.where(land, False, agents.jumping)
+
+    # Momentum arrest: actual horizontal travel (kcc.cpp:576-578).
+    hvel = (pos - pos0) / dt
+    hvel = hvel.at[..., 1].set(0.0)
+
+    # onGround per ref semantics (kcc.cpp:679-682): vvel and voffset both ~0.
+    on_ground = (jnp.abs(vvel) < C.KCC_EPSILON) & (jnp.abs(voffset) < C.KCC_EPSILON)
+
+    # Ground friction (kcc.cpp:592-599).
+    speed = jnp.linalg.norm(hvel, axis=-1)
+    fric_scale = jnp.maximum(speed - C.KCC_NORMAL_DECELERATION * dt, 0.0) / jnp.maximum(speed, 1e-9)
+    hvel = jnp.where(on_ground[..., None], hvel * fric_scale[..., None], hvel)
+
+    return agents.replace(pos=pos, vvel=vvel, hvel=hvel, jumping=jumping, on_ground=on_ground)
+
+
+def resolve_agent_collisions(agents: AgentState) -> AgentState:
+    """Pairwise capsule-capsule horizontal push-out.
+
+    Replaces agent-vs-agent sweep collisions + penetration recovery
+    (agents are in each other's collision masks, agent.cpp:63;
+    recoverFromPenetration kcc.cpp:156-221). Symmetric positional correction.
+    """
+    pos = agents.pos
+    num_agents = pos.shape[0]
+    if num_agents <= 1:
+        return agents
+
+    diff = pos[:, None, :] - pos[None, :, :]  # [A, A, 3]
+    d_xz = jnp.sqrt(diff[..., 0] ** 2 + diff[..., 2] ** 2 + 1e-12)
+    v_overlap = jnp.abs(diff[..., 1]) < 2 * HALF_Y - 0.05
+    eye = jnp.eye(num_agents, dtype=bool)
+    overlap = (~eye) & v_overlap & (d_xz < 2 * HALF_XZ)
+
+    push_mag = jnp.where(overlap, (2 * HALF_XZ - d_xz) * 0.5, 0.0)
+    dir_xz = jnp.stack([diff[..., 0], jnp.zeros_like(d_xz), diff[..., 2]], -1) / d_xz[..., None]
+    # Degenerate case: coincident centers -> push along +x deterministically.
+    degen = overlap & (d_xz < 1e-5)
+    dir_xz = jnp.where(degen[..., None], jnp.array([1.0, 0.0, 0.0]), dir_xz)
+    push = jnp.sum(push_mag[..., None] * dir_xz, axis=1)  # [A, 3]
+    return agents.replace(pos=pos + push)

@@ -1,0 +1,355 @@
+"""Scenario base class and host-side episode generation utilities.
+
+A scenario has two halves:
+
+1. **Generation** (host, numpy): procedural episode layout -> `SceneData`
+   arrays. This replaces the reference's Scenario::reset scene building
+   (scenario.hpp:108, e.g. scenario_obstacles.cpp:51-195). Branchy, sequential
+   algorithms (retry loops, spanning trees, BFS) run here in numpy/C++ and feed
+   a device-side layout buffer; the jitted step consumes layouts by gather, so
+   auto-reset stays inside jit.
+
+2. **Step logic** (device, jax): pure function over EnvState run after physics
+   each tick (ref Scenario::step, scenario.hpp:128), plus reward shaping.
+
+Reward shaping (ref scenario.hpp:184-215) is runtime-mutable per agent, so it is
+carried as a [A, K] array whose columns follow `shaping_keys` order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.types import (
+    EnvConfig,
+    EnvState,
+    GridConfig,
+    PropState,
+    SceneData,
+    PROP_FLAG_SOLID,
+    PROP_FLAG_VISIBLE,
+    PROP_FLAG_MOVABLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Host-side scene builder.
+# ---------------------------------------------------------------------------
+
+class HostScene:
+    """Mutable numpy scene under construction; `finish()` -> SceneData arrays."""
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+        x, y, z = cfg.grid.dims
+        self.vtype = np.zeros((x, y, z), np.uint8)
+        self.vcolor = np.zeros((x, y, z), np.uint8)
+        self.vterrain = np.zeros((x, y, z), np.uint8)
+        self.extra_boxes: List[Tuple[np.ndarray, np.ndarray, int]] = []
+        self.props_type: List[int] = []
+        self.props_pos: List[np.ndarray] = []
+        self.props_scale: List[np.ndarray] = []
+        self.props_color: List[int] = []
+        self.props_flags: List[int] = []
+        self.agent_spawn = np.zeros((cfg.num_agents, 3), np.float32)
+        self.agent_yaw = np.zeros((cfg.num_agents,), np.float32)
+        self.episode_len_sec = float(cfg.params.get(C.P_EPISODE_LENGTH_SEC, 60.0))
+        self.scen: Any = ()
+
+    # -- voxel helpers ------------------------------------------------------
+    def world_to_voxel(self, p) -> np.ndarray:
+        g = self.cfg.grid
+        return np.floor((np.asarray(p, np.float64) - np.asarray(g.origin)) / g.voxel_size).astype(np.int64)
+
+    def fill_box_voxels(self, imin, imax, vtype=C.VOXEL_SOLID | C.VOXEL_OPAQUE,
+                        color: int = 0, terrain: int = 0) -> None:
+        """Fill voxel index range [imin, imax] inclusive."""
+        x0, y0, z0 = np.maximum(imin, 0)
+        dims = self.cfg.grid.dims
+        x1, y1, z1 = np.minimum(imax, np.asarray(dims) - 1)
+        if x1 < x0 or y1 < y0 or z1 < z0:
+            return
+        sl = (slice(x0, x1 + 1), slice(y0, y1 + 1), slice(z0, z1 + 1))
+        self.vtype[sl] |= np.uint8(vtype)
+        if color:
+            self.vcolor[sl] = np.uint8(color)
+        if terrain:
+            self.vterrain[sl] |= np.uint8(terrain)
+
+    def add_static_box(self, scale, translation, color: int,
+                       solid: bool = True, opaque: bool = True) -> None:
+        """World-space box with half-extents `scale` centered at `translation`.
+
+        Mirrors layout_utils addStaticCollidingBox (layout_utils.cpp:72-85):
+        drawn as one render box; collision via voxelization into the grid.
+        """
+        scale = np.asarray(scale, np.float64)
+        translation = np.asarray(translation, np.float64)
+        lo = translation - scale
+        hi = translation + scale
+        if opaque:
+            self.extra_boxes.append((lo.astype(np.float32), hi.astype(np.float32), color))
+        if solid:
+            # Voxelize for collision only (color stays 0 so the greedy merge
+            # does not emit a duplicate render box for these voxels).
+            imin = self.world_to_voxel(lo + 1e-6)
+            imax = self.world_to_voxel(hi - 1e-6)
+            self.fill_box_voxels(imin, imax, C.VOXEL_SOLID, color=0)
+
+    def add_terrain_quad(self, x0: float, z0: float, x1: float, z1: float,
+                         y: float, terrain: int) -> None:
+        """Thin overlay quad on top of the floor (layout_utils.cpp:53-68)."""
+        color = C.TERRAIN_COLOR_IDX[terrain]
+        lo = np.array([x0, y, z0], np.float32)
+        hi = np.array([x1, y + 0.05, z1], np.float32)
+        self.extra_boxes.append((lo, hi, color))
+        # Terrain bits on the voxels just above the quad (for game logic).
+        imin = self.world_to_voxel(lo + 1e-6)
+        imax = self.world_to_voxel([hi[0] - 1e-6, y + 1e-6, hi[2] - 1e-6])
+        self.fill_box_voxels(imin, imax, vtype=0, terrain=terrain)
+
+    # -- props --------------------------------------------------------------
+    def add_prop(self, ptype: int, pos, scale, color: int,
+                 solid: bool = False, movable: bool = False) -> int:
+        flags = PROP_FLAG_VISIBLE
+        if solid:
+            flags |= PROP_FLAG_SOLID
+        if movable:
+            flags |= PROP_FLAG_MOVABLE
+        self.props_type.append(ptype)
+        self.props_pos.append(np.asarray(pos, np.float32))
+        self.props_scale.append(np.asarray(scale, np.float32))
+        self.props_color.append(color)
+        self.props_flags.append(flags)
+        return len(self.props_type) - 1
+
+    # -- agents -------------------------------------------------------------
+    def spawn_agents_at(self, positions, rng: np.random.Generator) -> None:
+        """Standard spawn (scenario_default.hpp:80-97): +(.5,0,.5) cell centering,
+        +agentHeight vertical offset (agent.cpp:45), random yaw."""
+        positions = np.asarray(positions, np.float64)
+        for i in range(self.cfg.num_agents):
+            p = positions[i] + np.array([0.5, 0.0, 0.5])
+            self.agent_spawn[i] = p + np.array([0.0, C.AGENT_HEIGHT, 0.0])
+            self.agent_yaw[i] = rng.random() * 2.0 * np.pi
+
+    # -- finalize -----------------------------------------------------------
+    def finish(self, max_boxes: int, scen: Any = ()) -> SceneData:
+        g = self.cfg.grid
+        boxes = greedy_merge_boxes(self.vtype, self.vcolor, g)
+        boxes += self.extra_boxes
+        if len(boxes) > max_boxes:
+            raise ValueError(
+                f"scene has {len(boxes)} render boxes > max_boxes={max_boxes} "
+                f"({self.cfg.scenario_name})"
+            )
+        m = max_boxes
+        box_lo = np.zeros((m, 3), np.float32)
+        box_hi = np.zeros((m, 3), np.float32)
+        box_color = np.zeros((m,), np.uint8)
+        for i, (lo, hi, col) in enumerate(boxes):
+            box_lo[i], box_hi[i], box_color[i] = lo, hi, col
+
+        p = self.cfg.max_props
+        n = len(self.props_type)
+        if n > p:
+            raise ValueError(f"scene has {n} props > max_props={p}")
+        prop_type = np.full((p,), C.PROP_NONE, np.int8)
+        prop_pos = np.zeros((p, 3), np.float32)
+        prop_scale = np.zeros((p, 3), np.float32)
+        prop_color = np.zeros((p,), np.uint8)
+        prop_flags = np.zeros((p,), np.uint8)
+        if n:
+            prop_type[:n] = self.props_type
+            prop_pos[:n] = self.props_pos
+            prop_scale[:n] = self.props_scale
+            prop_color[:n] = self.props_color
+            prop_flags[:n] = self.props_flags
+
+        return SceneData(
+            vtype=self.vtype,
+            vcolor=self.vcolor,
+            vterrain=self.vterrain,
+            box_lo=box_lo,
+            box_hi=box_hi,
+            box_color=box_color,
+            props=PropState(
+                type=prop_type, pos=prop_pos, scale=prop_scale,
+                color=prop_color, flags=prop_flags,
+            ),
+            agent_spawn=self.agent_spawn,
+            agent_yaw=self.agent_yaw,
+            episode_len_sec=np.float32(self.episode_len_sec),
+            scen=scen if scen != () else self.scen,
+        )
+
+
+def greedy_merge_boxes(vtype: np.ndarray, vcolor: np.ndarray, g: GridConfig):
+    """Greedy merge of identical (opaque, color) voxels into boxes.
+
+    Host-side equivalent of VoxelGridComponent::toBoundingBoxes
+    (component_voxel_grid.hpp:108-187): expands axis-aligned parallelepipeds of
+    matching voxels so the renderer tests a handful of boxes instead of
+    thousands of voxels.
+    """
+    opaque = (vtype & C.VOXEL_OPAQUE) != 0
+    # Voxels that are solid but not opaque still need rendering in the
+    # reference only when OPAQUE is set; solid-only voxels are invisible
+    # colliders. Merge the visible ones.
+    visible = opaque | (((vtype & C.VOXEL_SOLID) != 0) & (vcolor > 0))
+    todo = visible.copy()
+    boxes = []
+    xs, ys, zs = np.nonzero(todo)
+    order = np.lexsort((zs, ys, xs))
+    dims = vtype.shape
+    for k in order:
+        x, y, z = int(xs[k]), int(ys[k]), int(zs[k])
+        if not todo[x, y, z]:
+            continue
+        col = vcolor[x, y, z]
+        # expand along z
+        z2 = z
+        while z2 + 1 < dims[2] and todo[x, y, z2 + 1] and vcolor[x, y, z2 + 1] == col:
+            z2 += 1
+        # expand along x
+        x2 = x
+        while x2 + 1 < dims[0] and np.all(todo[x2 + 1, y, z:z2 + 1]) and np.all(vcolor[x2 + 1, y, z:z2 + 1] == col):
+            x2 += 1
+        # expand along y
+        y2 = y
+        while y2 + 1 < dims[1] and np.all(todo[x:x2 + 1, y2 + 1, z:z2 + 1]) and np.all(vcolor[x:x2 + 1, y2 + 1, z:z2 + 1] == col):
+            y2 += 1
+        todo[x:x2 + 1, y:y2 + 1, z:z2 + 1] = False
+        vs = g.voxel_size
+        origin = np.asarray(g.origin)
+        lo = origin + np.array([x, y, z]) * vs
+        hi = origin + (np.array([x2, y2, z2]) + 1) * vs
+        boxes.append((lo.astype(np.float32), hi.astype(np.float32), int(col)))
+    return boxes
+
+
+# ---------------------------------------------------------------------------
+# Scenario base.
+# ---------------------------------------------------------------------------
+
+class Scenario:
+    """Base scenario. Subclasses override generation + device step logic."""
+
+    name: str = "base"
+    # Static capacity knobs (per scenario).
+    max_boxes: int = 64
+    max_props: int = 8
+    shaping_keys: Tuple[str, ...] = ()
+
+    def __init__(self, num_agents: int = 1, params: Optional[Dict[str, float]] = None):
+        self.num_agents = num_agents
+        resolved = self.default_params()
+        resolved.update(params or {})
+        self.params = resolved
+        self.cfg = EnvConfig(
+            scenario_name=self.name,
+            num_agents=num_agents,
+            grid=self.grid_config(),
+            max_props=self.max_props,
+            params=resolved,
+        )
+
+    # -- static config ------------------------------------------------------
+    def grid_config(self) -> GridConfig:
+        raise NotImplementedError
+
+    def default_params(self) -> Dict[str, float]:
+        # ref scenario.hpp:225-231
+        return {
+            C.P_EPISODE_LENGTH_SEC: 60.0,
+            C.P_VERTICAL_LOOK_LIMIT: 0.2,
+            C.P_USE_UI_REWARD_INDICATORS: 0.0,
+        }
+
+    def default_reward_shaping(self) -> Dict[str, float]:
+        """ref Scenario::initRewardShaping + defaultRewardShaping."""
+        return {C.P_TEAM_SPIRIT: 0.0, **self._reward_shaping()}
+
+    def _reward_shaping(self) -> Dict[str, float]:
+        return {}
+
+    @property
+    def all_shaping_keys(self) -> List[str]:
+        return [C.P_TEAM_SPIRIT, *self.shaping_keys]
+
+    def shaping_array(self, overrides: Optional[Dict[str, float]] = None) -> np.ndarray:
+        """[A, K] runtime reward-shaping array in all_shaping_keys order."""
+        base = self.default_reward_shaping()
+        if overrides:
+            base.update(overrides)
+        row = np.array([base[k] for k in self.all_shaping_keys], np.float32)
+        return np.tile(row, (self.num_agents, 1))
+
+    def shaping(self, shaping_arr: jax.Array, key: str) -> jax.Array:
+        """Column [A] of the shaping array for `key` (device-side)."""
+        return shaping_arr[:, self.all_shaping_keys.index(key)]
+
+    # -- generation (host) --------------------------------------------------
+    def generate(self, rng: np.random.Generator) -> SceneData:
+        raise NotImplementedError
+
+    # -- device-side scenario logic ----------------------------------------
+    def scen_step(
+        self, state: EnvState, action: jax.Array, shaping: jax.Array
+    ) -> Tuple[EnvState, jax.Array]:
+        """Post-physics task logic: returns (state, per-agent rewards [A]).
+
+        Must also maintain state.true_objective. Default: nothing.
+        """
+        return state, jnp.zeros((self.num_agents,), jnp.float32)
+
+    def pre_physics(self, state: EnvState, action: jax.Array) -> EnvState:
+        """Hook before the physics step (ref Scenario::preStep)."""
+        return state
+
+    # -- team reward helpers (ref scenario.hpp:259-307) ---------------------
+    def team_affinity(self) -> np.ndarray:
+        """[A] static team id per agent; default all same team."""
+        return np.zeros((self.num_agents,), np.int32)
+
+    def reward_team(
+        self, rewards: jax.Array, shaping: jax.Array, key: str,
+        agent_idx_mask: jax.Array, multiplier,
+    ) -> jax.Array:
+        """Vectorized rewardTeam (scenario.hpp:291-298).
+
+        `agent_idx_mask` [A] is 1.0 for the acting agent(s). The acting agent
+        gets (1 - teamSpirit) * r; every teammate (incl. actor) gets
+        teamSpirit * r / teamSize.
+        """
+        r = self.shaping(shaping, key)
+        spirit = self.shaping(shaping, C.P_TEAM_SPIRIT)
+        team = jnp.asarray(self.team_affinity())
+        same_team = team[:, None] == team[None, :]  # [A, A]
+        team_size = jnp.sum(same_team, axis=1).astype(jnp.float32)
+
+        mult = jnp.asarray(multiplier, jnp.float32) * agent_idx_mask
+        direct = r * mult * (1.0 - spirit)
+        # Each acting agent j contributes r_i * spirit_i * mult_j / teamSize_i
+        # to every teammate i.
+        contrib = jnp.sum(same_team * mult[None, :], axis=1)
+        shared = r * spirit * contrib / team_size
+        return rewards + direct + shared
+
+    def reward_agent(
+        self, rewards: jax.Array, shaping: jax.Array, key: str,
+        agent_idx_mask: jax.Array, multiplier,
+    ) -> jax.Array:
+        """rewardAgent (scenario.hpp:259-262)."""
+        r = self.shaping(shaping, key)
+        return rewards + r * jnp.asarray(multiplier, jnp.float32) * agent_idx_mask
+
+    def reward_all(self, rewards: jax.Array, shaping: jax.Array, key: str, multiplier) -> jax.Array:
+        r = self.shaping(shaping, key)
+        return rewards + r * jnp.asarray(multiplier, jnp.float32)

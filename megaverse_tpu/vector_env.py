@@ -1,0 +1,168 @@
+"""Vectorized environment: vmapped step + device-side auto-reset buffer.
+
+TPU-native replacement for the reference VectorEnv thread pool
+(env/src/vector_env.cpp:6-127): instead of N CPU threads stepping N envs behind
+a spin barrier, the whole batch steps in lockstep inside one jitted vmapped
+function, and observations for all env×agent cameras come out of one batched
+render (the analogue of the single v4r cmdStream.render, v4r_env_renderer.cpp:338-355).
+
+Auto-reset: the jitted step consumes a per-env "next episode layout" buffer by
+masked gather when an env finishes (replacing the serial reset of done envs,
+vector_env.cpp:89-108). The host refills consumed slots from numpy procedural
+generation between steps; each env's layout stream is keyed by its own seed
+chain (mirroring megaverse.cpp:60-69 master->per-env seeding), so results are
+deterministic regardless of refill timing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.env import env_step, render_state
+from megaverse_tpu.scenarios import make_scenario
+from megaverse_tpu.scenarios.base import Scenario
+from megaverse_tpu.types import (
+    EnvState,
+    SceneData,
+    multidiscrete_to_bitmask,
+    state_from_scene,
+)
+
+# How many steps may elapse between done-flag inspections on the host. Must be
+# much smaller than the shortest episode (>= 6 s = 90 steps) so a slot is never
+# consumed twice before refill.
+DONE_POLL_INTERVAL = 16
+
+
+class VectorEnv:
+    """Batched auto-resetting environment."""
+
+    def __init__(
+        self,
+        scenario_name: str,
+        num_envs: int,
+        num_agents_per_env: int = 1,
+        params: Optional[Dict[str, float]] = None,
+        seed: int = 42,
+        render: bool = True,
+        device=None,
+    ):
+        self.scenario: Scenario = make_scenario(
+            scenario_name, num_agents=num_agents_per_env, params=params
+        )
+        self.num_envs = num_envs
+        self.num_agents_per_env = num_agents_per_env
+        self.render_obs = render
+        self.device = device
+
+        self._gens: List[np.random.Generator] = []
+        self._master_seed = seed
+        self.seed(seed)
+
+        self.shaping = jnp.asarray(
+            np.tile(self.scenario.shaping_array()[None], (num_envs, 1, 1))
+        )
+
+        scen = self.scenario
+
+        def _step(state, next_scene, action, shaping):
+            return env_step(scen, state, next_scene, action, shaping, self.render_obs)
+
+        self._vstep = jax.jit(jax.vmap(_step, in_axes=(0, 0, 0, 0)))
+        self._vrender = jax.jit(jax.vmap(lambda s: render_state(scen, s)))
+        self._vinit = jax.jit(
+            jax.vmap(lambda sc, key: state_from_scene(sc, num_agents_per_env, key))
+        )
+
+        self.state: Optional[EnvState] = None
+        self.next_scenes: Optional[SceneData] = None
+        self._steps_since_poll = 0
+        self._pending_dones: List[jax.Array] = []
+
+    # ------------------------------------------------------------------ seeds
+    def seed(self, seed: int) -> None:
+        """Master seed fans out per-env generation streams (megaverse.cpp:60-69)."""
+        self._master_seed = seed
+        ss = np.random.SeedSequence(seed)
+        self._gens = [np.random.Generator(np.random.PCG64(s)) for s in ss.spawn(self.num_envs)]
+
+    # ------------------------------------------------------------------ reset
+    def _generate_batch(self, env_indices) -> SceneData:
+        scenes = [self.scenario.generate(self._gens[i]) for i in env_indices]
+        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *scenes)
+
+    def reset(self) -> jax.Array:
+        all_idx = range(self.num_envs)
+        first = self._generate_batch(all_idx)
+        self.next_scenes = jax.device_put(self._generate_batch(all_idx), self.device)
+        keys = jax.random.split(jax.random.PRNGKey(self._master_seed), self.num_envs)
+        self.state = self._vinit(jax.device_put(first, self.device), keys)
+        self._steps_since_poll = 0
+        self._pending_dones = []
+        return self._vrender(self.state)
+
+    # ------------------------------------------------------------------- step
+    def step(self, actions):
+        """actions: int bitmask [B, A] or multidiscrete [B, A, 6].
+
+        Returns (obs [B,A,H,W,3] u8, rewards [B,A] f32, dones [B] bool,
+        true_objective [B,A] f32) — all device arrays.
+        """
+        if self.state is None:
+            self.reset()
+        actions = jnp.asarray(actions)
+        if actions.ndim == 3:
+            actions = multidiscrete_to_bitmask(actions)
+        actions = actions.astype(jnp.int32)
+
+        result = self._vstep(self.state, self.next_scenes, actions, self.shaping)
+        self.state = result.state
+
+        self._pending_dones.append(result.done)
+        self._steps_since_poll += 1
+        if self._steps_since_poll >= DONE_POLL_INTERVAL:
+            self._refill_consumed_slots()
+
+        return result.obs, result.reward, result.done, result.true_objective
+
+    def flush(self) -> None:
+        """Force buffer refill bookkeeping (call before relying on layouts)."""
+        self._refill_consumed_slots()
+
+    def _refill_consumed_slots(self) -> None:
+        self._steps_since_poll = 0
+        if not self._pending_dones:
+            return
+        dones = np.asarray(jnp.any(jnp.stack(self._pending_dones), axis=0))
+        self._pending_dones = []
+        idx = np.nonzero(dones)[0]
+        if idx.size == 0:
+            return
+        new_scenes = self._generate_batch(idx.tolist())
+        idx_dev = jnp.asarray(idx)
+        self.next_scenes = jax.tree.map(
+            lambda buf, new: buf.at[idx_dev].set(new), self.next_scenes, new_scenes
+        )
+
+    # -------------------------------------------------------------- shaping
+    def get_reward_shaping(self, env_idx: int, agent_idx: int) -> Dict[str, float]:
+        row = np.asarray(self.shaping[env_idx, agent_idx])
+        return dict(zip(self.scenario.all_shaping_keys, row.tolist()))
+
+    def set_reward_shaping(self, env_idx: int, agent_idx: int, rs: Dict[str, float]) -> None:
+        keys = self.scenario.all_shaping_keys
+        row = np.asarray(self.shaping[env_idx, agent_idx]).copy()
+        for k, v in rs.items():
+            if k in keys:
+                row[keys.index(k)] = v
+        self.shaping = self.shaping.at[env_idx, agent_idx].set(jnp.asarray(row))
+
+    @property
+    def action_space_sizes(self):
+        return list(C.ACTION_SPACE_SIZES)

@@ -1,0 +1,134 @@
+"""Kinematic character controller semantics (ref kcc.cpp:528-602 behaviors)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import megaverse_tpu.constants as C
+from megaverse_tpu.ops import physics as P
+from megaverse_tpu.types import AgentState, GridConfig
+
+CFG = GridConfig(dims=(24, 12, 24), voxel_size=1.0, origin=(-4.0, -2.0, -4.0))
+DT = C.DEFAULT_DT
+
+
+def flat_world(wall_x=None):
+    v = np.zeros(CFG.dims, np.uint8)
+    v[:, 0:2, :] = C.VOXEL_SOLID  # floor top at world y=0
+    if wall_x is not None:
+        ix = int(np.floor(wall_x - CFG.origin[0]))
+        v[ix, 2:8, :] = C.VOXEL_SOLID
+    return jnp.asarray(v)
+
+
+def agent_at(x=4.0, y=None, z=4.0, yaw=0.0):
+    a = AgentState.create(1)
+    y = C.AGENT_HALF_HEIGHT if y is None else y
+    return a.replace(
+        pos=jnp.array([[x, y, z]], jnp.float32),
+        yaw=jnp.array([yaw], jnp.float32),
+        on_ground=jnp.array([True]),
+    )
+
+
+def run_steps(vtype, agents, action, n):
+    act = jnp.array([action], jnp.int32)
+    step = jax.jit(
+        lambda ag: P.player_step(
+            CFG, vtype,
+            P.apply_acceleration(P.apply_look(ag, act, DT, 0.2), act, DT),
+            DT,
+        )
+    )
+    for _ in range(n):
+        agents = step(agents)
+    return agents
+
+
+def test_settles_on_floor():
+    v = flat_world()
+    a = agent_at(y=3.0).replace(on_ground=jnp.array([False]))
+    a = run_steps(v, a, C.ACTION_IDLE, 30)
+    assert np.isclose(float(a.pos[0, 1]), C.AGENT_HALF_HEIGHT, atol=1e-3)
+    assert bool(a.on_ground[0])
+
+
+def test_walks_forward_up_to_max_speed():
+    v = flat_world()
+    a = agent_at(yaw=0.0)  # forward is -z
+    a = run_steps(v, a, C.ACTION_FORWARD, 40)
+    speed = float(jnp.linalg.norm(a.hvel[0]))
+    # steady-state: accelerate 50 then friction 15 -> effective cap below 4.5
+    assert 2.0 < speed <= C.KCC_MAX_HORIZONTAL_SPEED + 1e-3
+    assert float(a.pos[0, 2]) < 3.0  # moved in -z
+    assert np.isclose(float(a.pos[0, 0]), 4.0, atol=1e-4)
+
+
+def test_friction_stops_agent():
+    v = flat_world()
+    a = agent_at()
+    a = run_steps(v, a, C.ACTION_FORWARD, 20)
+    a = run_steps(v, a, C.ACTION_IDLE, 20)
+    assert float(jnp.linalg.norm(a.hvel[0])) < 1e-3
+
+
+def test_wall_blocks_movement():
+    v = flat_world(wall_x=8.0)
+    a = agent_at(x=6.0, yaw=-np.pi / 2)  # forward = (-sin(-pi/2),0,-cos) = (+1, 0, ~0)
+    a = run_steps(v, a, C.ACTION_FORWARD, 60)
+    # face of capsule stops at wall plane x=8
+    assert float(a.pos[0, 0]) <= 8.0 - C.AGENT_CAPSULE_RADIUS + 1e-3
+    assert float(a.pos[0, 0]) > 7.0
+
+
+def test_jump_and_land():
+    v = flat_world()
+    a = agent_at()
+    heights = []
+    act_jump = jnp.array([C.ACTION_JUMP], jnp.int32)
+    step1 = lambda ag, act: P.player_step(
+        CFG, v, P.apply_acceleration(P.apply_look(ag, act, DT, 0.2), act, DT), DT
+    )
+    a = step1(a, act_jump)
+    assert not bool(a.on_ground[0])
+    idle = jnp.array([C.ACTION_IDLE], jnp.int32)
+    for _ in range(40):
+        a = step1(a, idle)
+        heights.append(float(a.pos[0, 1]))
+    hmax = max(heights)
+    # analytic apex: v^2/2g = 6.2^2 / (2*13.72) ~ 1.4 above start
+    assert hmax > C.AGENT_HALF_HEIGHT + 0.8
+    assert hmax < C.AGENT_HALF_HEIGHT + 1.8
+    assert np.isclose(heights[-1], C.AGENT_HALF_HEIGHT, atol=1e-3)
+    assert bool(a.on_ground[0])
+
+
+def test_step_up_small_ledge():
+    # A 0.2-high ledge is NOT representable in a 1.0 voxel grid; instead verify
+    # a full 1-voxel ledge blocks walking (requires jump), matching ref
+    # stepHeight 0.2 < 1.
+    v = flat_world()
+    v = v.at[12:, 2, :].set(C.VOXEL_SOLID)  # raised platform top y=1 for x>=8
+    a = agent_at(x=6.0, yaw=-np.pi / 2)
+    a = run_steps(v, a, C.ACTION_FORWARD, 40)
+    assert float(a.pos[0, 0]) <= 8.0 - C.AGENT_CAPSULE_RADIUS + 1e-3
+
+
+def test_look_pitch_clamped():
+    a = AgentState.create(1)
+    act = jnp.array([C.ACTION_LOOK_UP], jnp.int32)
+    for _ in range(60):
+        a = P.apply_look(a, act, DT, 0.2)
+    assert np.isclose(float(a.pitch[0]), 0.2)
+    act = jnp.array([C.ACTION_LOOK_DOWN], jnp.int32)
+    for _ in range(120):
+        a = P.apply_look(a, act, DT, 0.2)
+    assert np.isclose(float(a.pitch[0]), -0.2)
+
+
+def test_agents_push_apart():
+    a = AgentState.create(2)
+    a = a.replace(pos=jnp.array([[4.0, 0.855, 4.0], [4.1, 0.855, 4.0]]))
+    a = P.resolve_agent_collisions(a)
+    d = float(jnp.linalg.norm(a.pos[0] - a.pos[1]))
+    assert d > 0.3
