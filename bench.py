@@ -1,0 +1,76 @@
+"""Throughput benchmark: env-steps (= RGB observations) per second at 128x72.
+
+Mirrors the reference's `megaverse_test_app --performance_test`
+(src/apps/megaverse_test_app.cpp:149-171: N envs, random actions, FPS report)
+and the DUMMY_SAMPLER sampling benchmark (megaverse_rl/sampling_benchmark.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference Empty-scenario throughput ~75,000 obs/s (README.md:243-245,
+64 envs / 1 agent / Vulkan on a 10-core i9 + GPU).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/megaverse_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+BASELINE_EMPTY_FPS = 75_000.0
+
+
+def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
+                   steps: int, warmup: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from megaverse_tpu.vector_env import VectorEnv
+    import megaverse_tpu.constants as C
+
+    env = VectorEnv(scenario_name, num_envs=num_envs,
+                    num_agents_per_env=num_agents, seed=42)
+    env.reset()
+
+    # Pre-generate a pool of random action bitmasks on device.
+    rng = np.random.default_rng(0)
+    n_pool = 64
+    md = np.stack(
+        [rng.integers(0, s, size=(n_pool, num_envs, num_agents))
+         for s in C.ACTION_SPACE_SIZES], axis=-1)
+    from megaverse_tpu.types import multidiscrete_to_bitmask
+    pool = jax.device_put(jnp.asarray(
+        np.asarray(multidiscrete_to_bitmask(jnp.asarray(md)), np.int32)))
+
+    for i in range(warmup):
+        obs, *_ = env.step(pool[i % n_pool])
+    jax.block_until_ready(obs)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        obs, *_ = env.step(pool[i % n_pool])
+    jax.block_until_ready(obs)
+    dt = time.perf_counter() - t0
+
+    return num_envs * num_agents * steps / dt
+
+
+def main() -> None:
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "200"))
+    scenario = os.environ.get("BENCH_SCENARIO", "Empty")
+
+    fps = bench_scenario(scenario, num_envs=num_envs, num_agents=1, steps=steps)
+
+    print(json.dumps({
+        "metric": f"obs_per_sec_{scenario.lower()}_{num_envs}env",
+        "value": round(fps, 1),
+        "unit": "obs/s@128x72",
+        "vs_baseline": round(fps / BASELINE_EMPTY_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

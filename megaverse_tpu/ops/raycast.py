@@ -11,14 +11,17 @@ fixed-size list of analytic primitives:
 - the dynamic prop table (box/capsule/sphere/cone/cylinder, env.hpp:58-69);
 - agent bodies (capsule) and eye boxes (scenario_default.hpp:111-122).
 
-This turns rendering into dense, branch-free VPU arithmetic with zero memory
-gathers per pixel — the shape that XLA/TPU wants — rather than a gather-heavy
-voxel DDA.
+Implementation shape (the part that matters on TPU): a statically-unrolled
+min-carry loop over primitives. Each primitive contributes one branch-free
+slab/quadric test over the whole [A, H, W] pixel grid and a `where`-select of
+the running closest hit. Everything is elementwise VPU arithmetic with zero
+per-pixel memory gathers — per-pixel argmin + take_along_axis (the "obvious"
+formulation) lowers to scalarized gathers on TPU and is ~1000x slower.
 
 Camera model: ref env_renderer.hpp:34-38 (hfov 100 deg, near 0.01, far 120) and
-agent.cpp:28-38 (camera at +0.41 above the agent origin, which itself sits
-+0.05 above the capsule center, agent.cpp:95). Shading: single Blinn-Phong
-light at (0,4,2), intensity 0.66 (v4r_env_renderer.cpp:219-221).
+agent.cpp:28-38 (camera at +0.41 above the agent origin, which sits +0.05 above
+the capsule center, agent.cpp:95). Shading: single Blinn-Phong light at
+(0,4,2), intensity 0.66 (v4r_env_renderer.cpp:219-221).
 
 All functions operate on one environment and are vmapped over the env batch.
 """
@@ -34,371 +37,368 @@ import numpy as np
 from megaverse_tpu import constants as C
 from megaverse_tpu.types import AgentState, EnvConfig, PropState, PROP_FLAG_VISIBLE
 
-INF = jnp.inf
-_EYE_HALF = jnp.array([0.25, 0.12, 0.2], jnp.float32)   # scenario_default.hpp:120
-_EYE_OFFSET = jnp.array([0.0, 0.0, -0.19], jnp.float32)
-_BODY_SCALE = jnp.array([0.35, 0.36 * 2.0, 0.35], jnp.float32)  # capsule approx as ellipsoid;
-# Magnum capsule3DSolid has total half-height ~2 at unit radius, so the
-# y-radius of the ellipsoid approximation is scale_y * 2.
-_BODY_OFFSET = jnp.array([0.0, 0.09, 0.0], jnp.float32)  # scenario_default.hpp:115
+INF = 1e30
+_EYE_HALF = np.array([0.25, 0.12, 0.2], np.float32)     # scenario_default.hpp:120
+_EYE_OFFSET = np.array([0.0, 0.0, -0.19], np.float32)
+# Magnum capsule3DSolid(…, halfLength=1) at unit radius spans half-height 2
+# (render_utils.cpp:27), so capsule scale (sx,sy,sz) ~ ellipsoid radii
+# (sx, 2*sy, sz).
+_BODY_SCALE = np.array([0.35, 0.36 * 2.0, 0.35], np.float32)
+_BODY_OFFSET = np.array([0.0, 0.09, 0.0], np.float32)   # scenario_default.hpp:115
 
 
-class Hit(NamedTuple):
-    t: jax.Array       # [..., ] distance, INF if miss
-    normal: jax.Array  # [..., 3]
-    color: jax.Array   # [..., 3] albedo
+class HitCarry(NamedTuple):
+    t: jax.Array    # [A, H, W] closest hit distance (INF = miss)
+    nx: jax.Array   # [A, H, W] normal components
+    ny: jax.Array
+    nz: jax.Array
+    r: jax.Array    # [A, H, W] albedo components
+    g: jax.Array
+    b: jax.Array
 
 
-def _closer(a: Hit, b: Hit) -> Hit:
-    closer_b = b.t < a.t
-    return Hit(
-        t=jnp.minimum(a.t, b.t),
-        normal=jnp.where(closer_b[..., None], b.normal, a.normal),
-        color=jnp.where(closer_b[..., None], b.color, a.color),
+def _select(carry: HitCarry, t, n, rgb) -> HitCarry:
+    """Keep the closer hit. t [A,H,W]; n tuple of 3 arrays; rgb len-3 seq."""
+    closer = t < carry.t
+    return HitCarry(
+        t=jnp.where(closer, t, carry.t),
+        nx=jnp.where(closer, n[0], carry.nx),
+        ny=jnp.where(closer, n[1], carry.ny),
+        nz=jnp.where(closer, n[2], carry.nz),
+        r=jnp.where(closer, rgb[0], carry.r),
+        g=jnp.where(closer, rgb[1], carry.g),
+        b=jnp.where(closer, rgb[2], carry.b),
     )
 
 
-def camera_rays(cfg: EnvConfig, agents: AgentState) -> Tuple[jax.Array, jax.Array]:
-    """Eye positions [A,3] and world-space unit ray dirs [A, H, W, 3]."""
+def camera_rays(cfg: EnvConfig, agents: AgentState):
+    """Eye [A,3] and world-space unit ray dir components (dx,dy,dz) [A,H,W]."""
     w, h = cfg.obs_width, cfg.obs_height
     tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
     tan_v = tan_h * h / w
 
-    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0   # [-1, 1] left->right
-    v = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0   # [+1, -1] top->bottom
-    du, dv = jnp.meshgrid(u * tan_h, v * tan_v, indexing="xy")      # [H? ...]
-    # meshgrid(xy): shapes [h, w] with du varying along axis 1
-    d_cam = jnp.stack([du, dv, -jnp.ones_like(du)], axis=-1)        # [h, w, 3]
-    d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+    u = (np.arange(w, dtype=np.float32) + 0.5) / w * 2.0 - 1.0   # left->right
+    v = 1.0 - (np.arange(h, dtype=np.float32) + 0.5) / h * 2.0   # top->bottom
+    du, dv = np.meshgrid(u * tan_h, v * tan_v, indexing="xy")    # [h, w]
+    inv_len = 1.0 / np.sqrt(du * du + dv * dv + 1.0)
+    dx0 = jnp.asarray(du * inv_len)
+    dy0 = jnp.asarray(dv * inv_len)
+    dz0 = jnp.asarray(-inv_len)
 
     cy, sy = jnp.cos(agents.yaw), jnp.sin(agents.yaw)   # [A]
     cp, sp = jnp.cos(agents.pitch), jnp.sin(agents.pitch)
+    cy, sy, cp, sp = (x[:, None, None] for x in (cy, sy, cp, sp))
 
-    # World dir = R_y(yaw) @ R_x(pitch) @ d_cam
-    dx, dy, dz = d_cam[..., 0], d_cam[..., 1], d_cam[..., 2]
-    # pitch (about camera x): y' = cy*y - s*z? R_x(p) = [[1,0,0],[0,c,-s],[0,s,c]]
-    y1 = cp[:, None, None] * dy - sp[:, None, None] * dz
-    z1 = sp[:, None, None] * dy + cp[:, None, None] * dz
-    x1 = jnp.broadcast_to(dx, z1.shape)
-    # yaw (about world y): R_y(t) = [[c,0,s],[0,1,0],[-s,0,c]]
-    x2 = cy[:, None, None] * x1 + sy[:, None, None] * z1
-    z2 = -sy[:, None, None] * x1 + cy[:, None, None] * z1
-    dirs = jnp.stack([x2, y1, z2], axis=-1)  # [A, h, w, 3]
+    # world dir = R_y(yaw) @ R_x(pitch) @ d_cam
+    y1 = cp * dy0 - sp * dz0
+    z1 = sp * dy0 + cp * dz0
+    dx = cy * dx0 + sy * z1
+    dz = -sy * dx0 + cy * z1
+    dy = jnp.broadcast_to(y1, dx.shape)
 
-    eye = agents.pos + jnp.array(
+    eye = agents.pos + jnp.asarray(
         [0.0, C.AGENT_BODY_OFFSET_Y + C.AGENT_CAMERA_OFFSET_Y, 0.0], jnp.float32
     )
-    return eye, dirs
+    return eye, (dx, dy, dz)
+
+
+class Rays(NamedTuple):
+    """Per-agent rays with precomputed reciprocals. All [A, H, W]."""
+    ox: jax.Array  # origin, broadcastable [A, 1, 1]
+    oy: jax.Array
+    oz: jax.Array
+    dx: jax.Array
+    dy: jax.Array
+    dz: jax.Array
+    ix: jax.Array  # 1 / d
+    iy: jax.Array
+    iz: jax.Array
+
+
+def make_rays(cfg: EnvConfig, agents: AgentState) -> Rays:
+    eye, (dx, dy, dz) = camera_rays(cfg, agents)
+    eps = 1e-12
+    safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+    dxs, dys, dzs = safe(dx), safe(dy), safe(dz)
+    return Rays(
+        ox=eye[:, 0, None, None], oy=eye[:, 1, None, None], oz=eye[:, 2, None, None],
+        dx=dx, dy=dy, dz=dz,
+        ix=1.0 / dxs, iy=1.0 / dys, iz=1.0 / dzs,
+    )
 
 
 # ---------------------------------------------------------------------------
-# Primitive intersections. ro: [A,1,1,3] or broadcastable; rd: [A,h,w,3].
-# Each returns t with INF on miss; hits with t <= near or from inside the
-# primitive are culled (matching rasterizer backface culling, so agents don't
-# see their own body/eyes from inside).
+# Per-primitive tests. Scalar primitive params broadcast against [A,H,W] rays.
+# Hits with t <= near or from inside are culled (rasterizer backface-culling
+# semantics, so agents don't see their own body/eyes from inside).
 # ---------------------------------------------------------------------------
 
-def ray_aabb(ro, rd, lo, hi, near=C.CAMERA_NEAR):
-    """Slab test. lo/hi broadcast against ro/rd. Returns (t, normal)."""
-    inv = 1.0 / rd
-    t1 = (lo - ro) * inv
-    t2 = (hi - ro) * inv
-    tmin_ax = jnp.minimum(t1, t2)
-    tmax_ax = jnp.maximum(t1, t2)
-    tmin = jnp.max(tmin_ax, axis=-1)
-    tmax = jnp.min(tmax_ax, axis=-1)
+def box_hit(rays: Rays, lo, hi, near=C.CAMERA_NEAR):
+    """Slab test; lo/hi are length-3 (scalars per axis). Returns (t, n)."""
+    t1x = (lo[0] - rays.ox) * rays.ix
+    t2x = (hi[0] - rays.ox) * rays.ix
+    t1y = (lo[1] - rays.oy) * rays.iy
+    t2y = (hi[1] - rays.oy) * rays.iy
+    t1z = (lo[2] - rays.oz) * rays.iz
+    t2z = (hi[2] - rays.oz) * rays.iz
+    tminx = jnp.minimum(t1x, t2x)
+    tminy = jnp.minimum(t1y, t2y)
+    tminz = jnp.minimum(t1z, t2z)
+    tmaxx = jnp.maximum(t1x, t2x)
+    tmaxy = jnp.maximum(t1y, t2y)
+    tmaxz = jnp.maximum(t1z, t2z)
+    tmin = jnp.maximum(tminx, jnp.maximum(tminy, tminz))
+    tmax = jnp.minimum(tmaxx, jnp.minimum(tmaxy, tmaxz))
     hit = (tmax >= tmin) & (tmin > near)
     t = jnp.where(hit, tmin, INF)
-    # Normal: axis attaining tmin, pointing against the ray.
-    is_min = (tmin_ax == tmin[..., None]).astype(jnp.float32)
-    normal = -jnp.sign(rd) * is_min
-    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    normal = normal / jnp.maximum(nn, 1e-9)
-    return t, normal
+    # Normal: entry axis, facing against the ray.
+    is_x = tmin == tminx
+    is_y = (~is_x) & (tmin == tminy)
+    nx = jnp.where(is_x, -jnp.sign(rays.dx), 0.0)
+    ny = jnp.where(is_y, -jnp.sign(rays.dy), 0.0)
+    nz = jnp.where(is_x | is_y, 0.0, -jnp.sign(rays.dz))
+    return t, (nx, ny, nz)
 
 
-def ray_ellipsoid(ro, rd, center, radii, near=C.CAMERA_NEAR):
-    """Ellipsoid |(p-c)/r| = 1; near-root only (inside -> miss)."""
-    q = (ro - center) / radii
-    d = rd / radii
-    a = jnp.sum(d * d, axis=-1)
-    b = jnp.sum(q * d, axis=-1)
-    c0 = jnp.sum(q * q, axis=-1) - 1.0
+def ellipsoid_hit(rays: Rays, center, radii, near=C.CAMERA_NEAR):
+    """|(p-c)/r| = 1; near root only (inside -> miss)."""
+    irx, iry, irz = 1.0 / radii[0], 1.0 / radii[1], 1.0 / radii[2]
+    qx = (rays.ox - center[0]) * irx
+    qy = (rays.oy - center[1]) * iry
+    qz = (rays.oz - center[2]) * irz
+    dx = rays.dx * irx
+    dy = rays.dy * iry
+    dz = rays.dz * irz
+    a = dx * dx + dy * dy + dz * dz
+    b = qx * dx + qy * dy + qz * dz
+    c0 = qx * qx + qy * qy + qz * qz - 1.0
     disc = b * b - a * c0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t = (-b - sq) / jnp.maximum(a, 1e-12)
     hit = (disc > 0) & (t > near)
     t = jnp.where(hit, t, INF)
-    p = ro + t[..., None] * rd
-    normal = (p - center) / (radii * radii)
-    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
-    return t, normal
+    nx = (rays.ox + t * rays.dx - center[0]) * irx * irx
+    ny = (rays.oy + t * rays.dy - center[1]) * iry * iry
+    nz = (rays.oz + t * rays.dz - center[2]) * irz * irz
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-18)
+    return t, (nx * inv, ny * inv, nz * inv)
 
 
-def ray_cylinder_y(ro, rd, center, radii, half_h, near=C.CAMERA_NEAR):
-    """Closed elliptic cylinder along y: radii (rx, rz), half height half_h."""
-    qx = (ro[..., 0] - center[..., 0]) / radii[..., 0]
-    qz = (ro[..., 2] - center[..., 2]) / radii[..., 1]
-    dx = rd[..., 0] / radii[..., 0]
-    dz = rd[..., 2] / radii[..., 1]
+def cylinder_hit(rays: Rays, center, rx, rz, half_h, near=C.CAMERA_NEAR):
+    """Closed elliptic cylinder along y."""
+    qx = (rays.ox - center[0]) / rx
+    qz = (rays.oz - center[2]) / rz
+    dx = rays.dx / rx
+    dz = rays.dz / rz
     a = dx * dx + dz * dz
     b = qx * dx + qz * dz
     c0 = qx * qx + qz * qz - 1.0
     disc = b * b - a * c0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t_side = (-b - sq) / jnp.maximum(a, 1e-12)
-    y_side = ro[..., 1] + t_side * rd[..., 1] - center[..., 1]
+    y_side = rays.oy + t_side * rays.dy - center[1]
     side_ok = (disc > 0) & (t_side > near) & (jnp.abs(y_side) <= half_h)
     t_side = jnp.where(side_ok, t_side, INF)
 
-    # Caps: top (+h) and bottom (-h) disks, front-facing only.
-    sign = -jnp.sign(rd[..., 1])
-    cap_y = center[..., 1] + sign * half_h
-    t_cap = (cap_y - ro[..., 1]) / jnp.where(jnp.abs(rd[..., 1]) < 1e-9, 1e-9, rd[..., 1])
-    px = (ro[..., 0] + t_cap * rd[..., 0] - center[..., 0]) / radii[..., 0]
-    pz = (ro[..., 2] + t_cap * rd[..., 2] - center[..., 2]) / radii[..., 1]
+    sign = -jnp.sign(rays.dy)
+    cap_y = center[1] + sign * half_h
+    t_cap = (cap_y - rays.oy) * rays.iy
+    px = (rays.ox + t_cap * rays.dx - center[0]) / rx
+    pz = (rays.oz + t_cap * rays.dz - center[2]) / rz
     cap_ok = (t_cap > near) & (px * px + pz * pz <= 1.0)
     t_cap = jnp.where(cap_ok, t_cap, INF)
 
     use_cap = t_cap < t_side
     t = jnp.minimum(t_side, t_cap)
-
-    p = ro + t[..., None] * rd
-    n_side = jnp.stack(
-        [
-            (p[..., 0] - center[..., 0]) / (radii[..., 0] ** 2),
-            jnp.zeros_like(t),
-            (p[..., 2] - center[..., 2]) / (radii[..., 1] ** 2),
-        ],
-        axis=-1,
-    )
-    n_side = n_side / jnp.maximum(jnp.linalg.norm(n_side, axis=-1, keepdims=True), 1e-9)
-    n_cap = jnp.stack([jnp.zeros_like(t), sign, jnp.zeros_like(t)], axis=-1)
-    normal = jnp.where(use_cap[..., None], n_cap, n_side)
-    return t, normal
+    # side normal
+    snx = (rays.ox + t * rays.dx - center[0]) / (rx * rx)
+    snz = (rays.oz + t * rays.dz - center[2]) / (rz * rz)
+    inv = jax.lax.rsqrt(snx * snx + snz * snz + 1e-18)
+    nx = jnp.where(use_cap, 0.0, snx * inv)
+    ny = jnp.where(use_cap, sign, 0.0)
+    nz = jnp.where(use_cap, 0.0, snz * inv)
+    return t, (nx, ny, nz)
 
 
-def ray_cone_y(ro, rd, center, radii, half_h, flipped, near=C.CAMERA_NEAR):
-    """Cone along y: apex at center + (0, half_h, 0), elliptic base radius
-    (rx, rz) at center - (0, half_h, 0). `flipped` mirrors it (apex down),
-    used for diamond bottom halves (layout_utils.cpp addDiamond).
-    """
+def cone_hit(rays: Rays, center, rx, rz, half_h, flipped, near=C.CAMERA_NEAR):
+    """Cone along y: apex at center + s*(0,half_h,0), elliptic base radius
+    (rx, rz) at the opposite end; `flipped` (scalar bool) mirrors it (diamond
+    bottom halves, layout_utils.cpp addDiamond)."""
     s = jnp.where(flipped, -1.0, 1.0)
-    # Work in a frame where apex is at origin and the cone opens toward -y.
-    apex = center + jnp.stack(
-        [jnp.zeros_like(s), s * half_h, jnp.zeros_like(s)], axis=-1
-    )
-    q = ro - apex
-    qy = q[..., 1] * s
-    dy = rd[..., 1] * s
-    qx = q[..., 0] / radii[..., 0]
-    qz = q[..., 2] / radii[..., 1]
-    dx = rd[..., 0] / radii[..., 0]
-    dz = rd[..., 2] / radii[..., 1]
-    # Cone: x^2 + z^2 = (y / (2 half_h))^2 * ... slope: radius 1 at drop 2*half_h
+    apex_y = center[1] + s * half_h
+    qx = (rays.ox - center[0]) / rx
+    qz = (rays.oz - center[2]) / rz
+    qy = (rays.oy - apex_y) * s
+    dx = rays.dx / rx
+    dz = rays.dz / rz
+    dy = rays.dy * s
     k = 1.0 / (2.0 * half_h)
     a = dx * dx + dz * dz - (k * dy) ** 2
     b = qx * dx + qz * dz - k * k * qy * dy
     c0 = qx * qx + qz * qz - (k * qy) ** 2
     disc = b * b - a * c0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) / jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
-    t2 = (-b + sq) / jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    asafe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    t1 = (-b - sq) / asafe
+    t2 = (-b + sq) / asafe
 
-    def valid(t):
+    def ok(t):
         y = qy + t * dy
         return (disc > 0) & (t > near) & (y <= 0) & (y >= -2.0 * half_h)
 
-    t_side = jnp.where(valid(t1), t1, jnp.where(valid(t2), t2, INF))
+    t_side = jnp.where(ok(t1), t1, jnp.where(ok(t2), t2, INF))
 
-    # Base cap disk.
-    base_y = apex[..., 1] - s * 2.0 * half_h
-    dy_w = jnp.where(jnp.abs(rd[..., 1]) < 1e-9, 1e-9, rd[..., 1])
-    t_cap = (base_y - ro[..., 1]) / dy_w
-    px = (ro[..., 0] + t_cap * rd[..., 0] - center[..., 0]) / radii[..., 0]
-    pz = (ro[..., 2] + t_cap * rd[..., 2] - center[..., 2]) / radii[..., 1]
+    base_y = apex_y - s * 2.0 * half_h
+    t_cap = (base_y - rays.oy) * rays.iy
+    px = (rays.ox + t_cap * rays.dx - center[0]) / rx
+    pz = (rays.oz + t_cap * rays.dz - center[2]) / rz
     cap_ok = (t_cap > near) & (px * px + pz * pz <= 1.0)
     t_cap = jnp.where(cap_ok, t_cap, INF)
 
     use_cap = t_cap < t_side
     t = jnp.minimum(t_side, t_cap)
-
-    p = ro + t[..., None] * rd
-    rel = p - apex
-    # Gradient of f = (x'/rx)^2 + (z'/rz)^2 - (k y')^2 (outward normal).
-    n_side = jnp.stack(
-        [
-            rel[..., 0] / (radii[..., 0] ** 2),
-            -(k * k) * rel[..., 1],
-            rel[..., 2] / (radii[..., 1] ** 2),
-        ],
-        axis=-1,
-    )
-    n_side = n_side / jnp.maximum(jnp.linalg.norm(n_side, axis=-1, keepdims=True), 1e-9)
-    n_cap = jnp.stack(
-        [jnp.zeros_like(t), jnp.broadcast_to(-s, t.shape), jnp.zeros_like(t)], axis=-1
-    )
-    normal = jnp.where(use_cap[..., None], n_cap, n_side)
-    return t, normal
+    relx = rays.ox + t * rays.dx - center[0]
+    rely = rays.oy + t * rays.dy - apex_y
+    relz = rays.oz + t * rays.dz - center[2]
+    snx = relx / (rx * rx)
+    sny = -(k * k) * rely
+    snz = relz / (rz * rz)
+    inv = jax.lax.rsqrt(snx * snx + sny * sny + snz * snz + 1e-18)
+    nx = jnp.where(use_cap, 0.0, snx * inv)
+    ny = jnp.where(use_cap, -s, sny * inv)
+    nz = jnp.where(use_cap, 0.0, snz * inv)
+    return t, (nx, ny, nz)
 
 
 # ---------------------------------------------------------------------------
-# Scene intersection.
+# Scene assembly.
 # ---------------------------------------------------------------------------
 
-def _intersect_boxes(ro, rd, box_lo, box_hi, box_color, palette) -> Hit:
-    """Static layout boxes. box_*: [M, ...]; rays [A,h,w,3]."""
+def _add_boxes(carry: HitCarry, rays: Rays, box_lo, box_hi, box_color, palette):
+    """Unrolled loop over the merged layout boxes [M]."""
+    rgb = palette[box_color]  # [M, 3] tiny gather, once per env
     m = box_lo.shape[0]
-    if m == 0:
-        sh = rd.shape[:-1]
-        return Hit(jnp.full(sh, INF), jnp.zeros(sh + (3,)), jnp.zeros(sh + (3,)))
-    t, n = ray_aabb(
-        ro[:, None, None, None, :],
-        rd[:, :, :, None, :],
-        box_lo[None, None, None, :, :],
-        box_hi[None, None, None, :, :],
-    )  # t: [A,h,w,M]
-    valid = box_color > 0
-    t = jnp.where(valid[None, None, None, :], t, INF)
-    k = jnp.argmin(t, axis=-1)
-    tbest = jnp.take_along_axis(t, k[..., None], axis=-1)[..., 0]
-    nbest = jnp.take_along_axis(n, k[..., None, None], axis=-2)[..., 0, :]
-    color = palette[box_color[k]]
-    return Hit(tbest, nbest, color)
+    for i in range(m):
+        t, n = box_hit(rays, box_lo[i], box_hi[i])
+        t = jnp.where(box_color[i] > 0, t, INF)
+        carry = _select(carry, t, n, (rgb[i, 0], rgb[i, 1], rgb[i, 2]))
+    return carry
 
 
-def _intersect_props(ro, rd, props: PropState, palette) -> Hit:
-    """Dynamic prop table: per-type analytic intersection, combined by min-t."""
+def _add_props(carry: HitCarry, rays: Rays, props: PropState, palette):
+    """Unrolled loop over the prop table [P]; per-slot type select."""
+    rgb = palette[props.color]  # [P, 3]
     p = props.type.shape[0]
-    sh = rd.shape[:-1]
-    if p == 0:
-        return Hit(jnp.full(sh, INF), jnp.zeros(sh + (3,)), jnp.zeros(sh + (3,)))
+    for i in range(p):
+        ptype = props.type[i]
+        visible = ((props.flags[i] & PROP_FLAG_VISIBLE) != 0) & (ptype != C.PROP_NONE)
+        center = props.pos[i]
+        sc = jnp.abs(props.scale[i])
+        flipped = props.scale[i, 1] < 0
 
-    ro_b = ro[:, None, None, None, :]
-    rd_b = rd[:, :, :, None, :]
-    center = props.pos[None, None, None, :, :]
-    scale = jnp.abs(props.scale)[None, None, None, :, :]
-    flipped = (props.scale[..., 1] < 0)[None, None, None, :]
+        t_box, n_box = box_hit(rays, center - sc, center + sc)
+        # sphere: radii = sc; capsule: ellipsoid with doubled y (see _BODY_SCALE)
+        ell_y = jnp.where(ptype == C.PROP_CAPSULE, 2.0 * sc[1], sc[1])
+        t_ell, n_ell = ellipsoid_hit(rays, center, (sc[0], ell_y, sc[2]))
+        # Magnum cone/cylinder primitives: halfLength 0.5 (render_utils.cpp:29-30)
+        t_cyl, n_cyl = cylinder_hit(rays, center, sc[0], sc[2], 0.5 * sc[1])
+        t_cone, n_cone = cone_hit(rays, center, sc[0], sc[2], 0.5 * sc[1], flipped)
 
-    t_box, n_box = ray_aabb(ro_b, rd_b, center - scale, center + scale)
-    t_sph, n_sph = ray_ellipsoid(ro_b, rd_b, center, scale)
-    # Capsule approximated as ellipsoid with doubled y radius (Magnum capsule
-    # mesh total half-height = 2 x radius at unit scale).
-    cap_radii = scale * jnp.array([1.0, 2.0, 1.0], jnp.float32)
-    t_cap, n_cap = ray_ellipsoid(ro_b, rd_b, center, cap_radii)
-    # Magnum cone/cylinder primitives use halfLength 0.5 (render_utils.cpp:27-30),
-    # so a y-scale of s gives world half-height 0.5*s.
-    t_cyl, n_cyl = ray_cylinder_y(
-        ro_b, rd_b, center, scale[..., ::2], 0.5 * scale[..., 1]
-    )
-    t_cone, n_cone = ray_cone_y(
-        ro_b, rd_b, center, scale[..., ::2], 0.5 * scale[..., 1], flipped
-    )
+        is_box = ptype == C.PROP_BOX
+        is_ell = (ptype == C.PROP_SPHERE) | (ptype == C.PROP_CAPSULE)
+        is_cyl = ptype == C.PROP_CYLINDER
+        is_cone = ptype == C.PROP_CONE
+        t = jnp.where(is_box, t_box,
+            jnp.where(is_ell, t_ell,
+            jnp.where(is_cyl, t_cyl,
+            jnp.where(is_cone, t_cone, INF))))
+        t = jnp.where(visible, t, INF)
 
-    ptype = props.type[None, None, None, :]
-    visible = ((props.flags & PROP_FLAG_VISIBLE) != 0)[None, None, None, :]
-
-    t = jnp.where(ptype == C.PROP_BOX, t_box,
-        jnp.where(ptype == C.PROP_SPHERE, t_sph,
-        jnp.where(ptype == C.PROP_CAPSULE, t_cap,
-        jnp.where(ptype == C.PROP_CYLINDER, t_cyl,
-        jnp.where(ptype == C.PROP_CONE, t_cone, INF)))))
-    t = jnp.where(visible, t, INF)
-
-    n = jnp.where((ptype == C.PROP_BOX)[..., None], n_box,
-        jnp.where((ptype == C.PROP_SPHERE)[..., None], n_sph,
-        jnp.where((ptype == C.PROP_CAPSULE)[..., None], n_cap,
-        jnp.where((ptype == C.PROP_CYLINDER)[..., None], n_cyl, n_cone))))
-
-    k = jnp.argmin(t, axis=-1)
-    tbest = jnp.take_along_axis(t, k[..., None], axis=-1)[..., 0]
-    nbest = jnp.take_along_axis(n, k[..., None, None], axis=-2)[..., 0, :]
-    color = palette[props.color[k]]
-    return Hit(tbest, nbest, color)
+        pick = lambda c: jnp.where(is_box, n_box[c],
+                jnp.where(is_ell, n_ell[c],
+                jnp.where(is_cyl, n_cyl[c], n_cone[c])))
+        carry = _select(carry, t, (pick(0), pick(1), pick(2)),
+                        (rgb[i, 0], rgb[i, 1], rgb[i, 2]))
+    return carry
 
 
-def _intersect_agents(ro, rd, agents: AgentState, palette) -> Hit:
-    """Other agents' bodies (capsule -> ellipsoid) + eye boxes.
+def _add_agents(carry: HitCarry, rays: Rays, agents: AgentState, palette):
+    """Other agents' bodies (capsule->ellipsoid) + yaw/pitch-rotated eye boxes.
 
-    ref scenario_default.hpp:111-122: body capsule scale (0.35,0.36,0.35) at
-    +0.09 above the agent origin; eyes box half (0.25,0.12,0.2) at camera-local
-    (0,0,-0.19), yaw+pitch rotated. Own body/eyes are culled automatically
-    because the camera sits inside them (inside hits are discarded).
+    Own body/eyes cull automatically: the camera is inside them and inside
+    hits are discarded (matching rasterizer backface culling).
     """
     num_agents = agents.pos.shape[0]
-    body_center = agents.pos + jnp.array([0.0, C.AGENT_BODY_OFFSET_Y, 0.0]) + _BODY_OFFSET
+    agent_colors = np.asarray(C.AGENT_COLORS)
+    eye_rgb = palette[C.COLOR_IDX["AGENT_EYES"]]
 
-    ro_b = ro[:, None, None, None, :]
-    rd_b = rd[:, :, :, None, :]
-    t_body, n_body = ray_ellipsoid(
-        ro_b, rd_b, body_center[None, None, None, :, :], _BODY_SCALE[None, None, None, None, :]
-    )
-    agent_colors = jnp.asarray(C.AGENT_COLORS)
-    body_color_idx = agent_colors[jnp.arange(num_agents) % agent_colors.shape[0]]
+    for j in range(num_agents):
+        body_c = agents.pos[j] + jnp.asarray(_BODY_OFFSET + [0.0, C.AGENT_BODY_OFFSET_Y, 0.0])
+        t, n = ellipsoid_hit(rays, body_c, tuple(_BODY_SCALE))
+        rgb = palette[agent_colors[j % len(agent_colors)]]
+        carry = _select(carry, t, n, (rgb[0], rgb[1], rgb[2]))
 
-    # Eyes: rotated box. Transform the ray into each agent's camera frame.
-    cam_pos = agents.pos + jnp.array(
-        [0.0, C.AGENT_BODY_OFFSET_Y + C.AGENT_CAMERA_OFFSET_Y, 0.0], jnp.float32
-    )  # [A,3]
-    cy, sy = jnp.cos(agents.yaw), jnp.sin(agents.yaw)
-    cp, sp = jnp.cos(agents.pitch), jnp.sin(agents.pitch)
+        # Eyes: ray -> agent-j camera frame, AABB test, normal back to world.
+        cam = agents.pos[j] + jnp.asarray(
+            [0.0, C.AGENT_BODY_OFFSET_Y + C.AGENT_CAMERA_OFFSET_Y, 0.0], jnp.float32
+        )
+        cyj, syj = jnp.cos(agents.yaw[j]), jnp.sin(agents.yaw[j])
+        cpj, spj = jnp.cos(agents.pitch[j]), jnp.sin(agents.pitch[j])
 
-    def to_local(v, translate):
-        # inverse of R_y(yaw) R_x(pitch): R_x(-p) R_y(-y)
-        if translate is not None:
-            v = v - translate[None, None, None, :, :]
-        x = cy * v[..., 0] - sy * v[..., 2]
-        z = sy * v[..., 0] + cy * v[..., 2]
-        y = v[..., 1]
-        y2 = cp * y + sp * z
-        z2 = -sp * y + cp * z
-        return jnp.stack([x, y2, z2], axis=-1)
-
-    ro_l = to_local(jnp.broadcast_to(ro_b, ro_b.shape[:3] + (num_agents, 3)), cam_pos)
-    rd_l = to_local(jnp.broadcast_to(rd_b, rd_b.shape[:3] + (num_agents, 3)), None)
-    t_eye, n_eye_l = ray_aabb(ro_l, rd_l, _EYE_OFFSET - _EYE_HALF, _EYE_OFFSET + _EYE_HALF)
-
-    # Rotate the eye normal back to world.
-    def to_world(v):
-        y = cp * v[..., 1] - sp * v[..., 2]
-        z = sp * v[..., 1] + cp * v[..., 2]
-        x = cy * v[..., 0] + sy * z
-        z2 = -sy * v[..., 0] + cy * z
-        return jnp.stack([x, y, z2], axis=-1)
-
-    n_eye = to_world(n_eye_l)
-
-    eye_color = jnp.full((num_agents,), C.COLOR_IDX["AGENT_EYES"], jnp.int32)
-
-    t = jnp.concatenate([t_body, t_eye], axis=-1)          # [A,h,w,2A]
-    n = jnp.concatenate([n_body, n_eye], axis=-2)
-    color_idx = jnp.concatenate([body_color_idx, eye_color])
-    k = jnp.argmin(t, axis=-1)
-    tbest = jnp.take_along_axis(t, k[..., None], axis=-1)[..., 0]
-    nbest = jnp.take_along_axis(n, k[..., None, None], axis=-2)[..., 0, :]
-    color = palette[color_idx[k]]
-    return Hit(tbest, nbest, color)
+        # inverse rotation: R_x(-p) R_y(-y)
+        ox, oy, oz = rays.ox - cam[0], rays.oy - cam[1], rays.oz - cam[2]
+        lx = cyj * ox - syj * oz
+        lz1 = syj * ox + cyj * oz
+        ly = cpj * oy + spj * lz1
+        lz = -spj * oy + cpj * lz1
+        dlx = cyj * rays.dx - syj * rays.dz
+        dlz1 = syj * rays.dx + cyj * rays.dz
+        dly = cpj * rays.dy + spj * dlz1
+        dlz = -spj * rays.dy + cpj * dlz1
+        eps = 1e-12
+        safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+        local = Rays(
+            ox=lx, oy=ly, oz=lz, dx=dlx, dy=dly, dz=dlz,
+            ix=1.0 / safe(dlx), iy=1.0 / safe(dly), iz=1.0 / safe(dlz),
+        )
+        t, (nlx, nly, nlz) = box_hit(local, _EYE_OFFSET - _EYE_HALF, _EYE_OFFSET + _EYE_HALF)
+        # rotate normal back: R_y(y) R_x(p)
+        wy = cpj * nly - spj * nlz
+        wz1 = spj * nly + cpj * nlz
+        wx = cyj * nlx + syj * wz1
+        wz = -syj * nlx + cyj * wz1
+        carry = _select(carry, t, (wx, wy, wz), (eye_rgb[0], eye_rgb[1], eye_rgb[2]))
+    return carry
 
 
-def shade(ro, rd, hit: Hit) -> jax.Array:
-    """Blinn-Phong, single light (v4r addLight((0,4,2), 0.66)), no attenuation."""
-    p = ro[:, None, None, :] + hit.t[..., None] * rd
-    lpos = jnp.asarray(C.LIGHT_POSITION)
-    lcol = jnp.asarray(C.LIGHT_COLOR)
-    ldir = lpos - p
-    ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-9)
-    ndl = jnp.maximum(jnp.sum(hit.normal * ldir, axis=-1), 0.0)
-    hvec = ldir - rd
-    hvec = hvec / jnp.maximum(jnp.linalg.norm(hvec, axis=-1, keepdims=True), 1e-9)
-    ndh = jnp.maximum(jnp.sum(hit.normal * hvec, axis=-1), 0.0)
-    # pow(ndh, 300) via exp/log, cheap approximation of the tight highlight.
+def shade(rays: Rays, carry: HitCarry) -> jax.Array:
+    """Blinn-Phong, single light (v4r addLight((0,4,2), 0.66)), no attenuation.
+    Returns float RGB [A, H, W, 3] in [0, 1]."""
+    t = carry.t
+    px = rays.ox + t * rays.dx
+    py = rays.oy + t * rays.dy
+    pz = rays.oz + t * rays.dz
+    lx = C.LIGHT_POSITION[0] - px
+    ly = C.LIGHT_POSITION[1] - py
+    lz = C.LIGHT_POSITION[2] - pz
+    inv = jax.lax.rsqrt(lx * lx + ly * ly + lz * lz + 1e-12)
+    lx, ly, lz = lx * inv, ly * inv, lz * inv
+    ndl = jnp.maximum(carry.nx * lx + carry.ny * ly + carry.nz * lz, 0.0)
+    # half vector (ray dir is unit, pointing away from eye)
+    hx, hy, hz = lx - rays.dx, ly - rays.dy, lz - rays.dz
+    inv_h = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-12)
+    ndh = jnp.maximum(carry.nx * hx + carry.ny * hy + carry.nz * hz, 0.0) * inv_h
     spec = jnp.exp(C.LIGHT_SHININESS * jnp.log(jnp.maximum(ndh, 1e-6)))
 
-    col = hit.color * (0.3 + ndl[..., None] * lcol) + spec[..., None] * lcol
-    sky = jnp.asarray(C.SKY_COLOR)
-    miss = ~jnp.isfinite(hit.t) | (hit.t > C.CAMERA_FAR)
-    col = jnp.where(miss[..., None], sky, col)
-    return jnp.clip(col, 0.0, 1.0)
+    lc = C.LIGHT_COLOR[0]  # grey light: same coefficient for all channels
+    diff = 0.3 + ndl * lc
+    sp = spec * lc
+    miss = t >= C.CAMERA_FAR
+    out = []
+    for albedo, sky in ((carry.r, C.SKY_COLOR[0]), (carry.g, C.SKY_COLOR[1]), (carry.b, C.SKY_COLOR[2])):
+        col = albedo * diff + sp
+        out.append(jnp.where(miss, sky, col))
+    return jnp.clip(jnp.stack(out, axis=-1), 0.0, 1.0)
 
 
 def render(
@@ -412,30 +412,36 @@ def render(
 ) -> jax.Array:
     """Render all agent views of one env -> uint8 [A, H, W, 3]."""
     palette = jnp.asarray(C.PALETTE)
-    ro, rd = camera_rays(cfg, agents)
+    rays = make_rays(cfg, agents)
 
-    hit = _intersect_boxes(ro, rd, box_lo, box_hi, box_color, palette)
-    hit = _closer(hit, _intersect_props(ro, rd, props, palette))
-    hit = _closer(hit, _intersect_agents(ro, rd, agents, palette))
+    shape = rays.dx.shape
+    carry = HitCarry(
+        t=jnp.full(shape, INF),
+        nx=jnp.zeros(shape), ny=jnp.zeros(shape), nz=jnp.zeros(shape),
+        r=jnp.zeros(shape), g=jnp.zeros(shape), b=jnp.zeros(shape),
+    )
+    carry = _add_boxes(carry, rays, box_lo, box_hi, box_color, palette)
+    carry = _add_props(carry, rays, props, palette)
+    carry = _add_agents(carry, rays, agents, palette)
 
-    col = shade(ro, rd, hit)
+    col = shade(rays, carry)
 
-    # HUD: remaining-time bar, camera-space box at (0,-0.131,-0.2), half extents
-    # (0.24 * frac, 0.0015, 0.001) (scenario_default.hpp:140-145, 164-169).
-    # Composited in 2D; nothing except own geometry (which is inside-culled) can
-    # sit closer than 0.2 m.
+    # HUD: remaining-time bar, camera-space box at (0,-0.131,-0.2), half
+    # extents (0.24 * frac, 0.0015, 0.001) (scenario_default.hpp:140-145,
+    # 164-169). Composited in 2D; nothing except own (inside-culled) geometry
+    # can sit closer than 0.2 m.
     w, h = cfg.obs_width, cfg.obs_height
     tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
     tan_v = tan_h * h / w
-    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-    v = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    u = (np.arange(w, dtype=np.float32) + 0.5) / w * 2.0 - 1.0
+    v = 1.0 - (np.arange(h, dtype=np.float32) + 0.5) / h * 2.0
     bar_half_u = 0.24 * time_fraction / (0.2 * tan_h)     # [()] or [A]
     bar_v = -0.131 / (0.2 * tan_v)
     bar_half_v = 0.0015 / (0.2 * tan_v)
-    in_u = jnp.abs(u)[None, None, :] <= jnp.reshape(bar_half_u, (-1, 1, 1))
-    in_v = (jnp.abs(v - bar_v) <= bar_half_v)[None, :, None]
-    bar_mask = in_u & in_v  # [A?, h, w]
-    bar_color = palette[C.COLOR_IDX["BLUE"]]
-    col = jnp.where(bar_mask[..., None], bar_color * (0.3 + jnp.asarray(C.LIGHT_COLOR)), col)
+    in_u = jnp.abs(jnp.asarray(u))[None, None, :] <= jnp.reshape(bar_half_u, (-1, 1, 1))
+    in_v = jnp.asarray(np.abs(v - bar_v) <= bar_half_v)[None, :, None]
+    bar_mask = (in_u & in_v)[..., None]  # [A?, h, w, 1]
+    bar_color = jnp.asarray(C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0]))
+    col = jnp.where(bar_mask, bar_color, col)
 
     return (col * 255.0 + 0.5).astype(jnp.uint8)

@@ -1,0 +1,215 @@
+"""On-device APPO-style learner.
+
+The reference delegates training to Sample Factory APPO across processes
+(megaverse_rl/train_megaverse.py:32-42: actor workers render on GPUs, a learner
+process optimizes). On TPU the whole loop — rollout (env step + policy
+inference) and the PPO update — is one jitted program: observations never leave
+device HBM (eliminating the reference's GPU->CPU readback,
+v4r_env_renderer.cpp:357-362), and scale-out is sharding the env batch over the
+device mesh (see megaverse_tpu.parallel).
+
+Hyperparameter defaults follow the reference README training command
+(README.md:134: rollout 32, recurrence 32, batch 4096) and
+megaverse_params.py:4-21 (symmetric_kl exploration loss, coeff 0.001).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.env import env_step
+from megaverse_tpu.models.actor_critic import (
+    ActorCritic,
+    action_log_prob_entropy,
+    sample_actions,
+    symmetric_kl_from_uniform,
+)
+from megaverse_tpu.scenarios.base import Scenario
+from megaverse_tpu.types import EnvState, SceneData, multidiscrete_to_bitmask
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    rollout: int = 32
+    lr: float = 1e-4
+    gamma: float = 0.997
+    gae_lambda: float = 0.95
+    clip_ratio: float = 0.1
+    value_coeff: float = 0.5
+    exploration_coeff: float = 0.001  # symmetric_kl, megaverse_params.py:17
+    max_grad_norm: float = 4.0
+    hidden_size: int = 512
+    use_rnn: bool = True
+
+
+class RolloutBatch(NamedTuple):
+    obs: jax.Array        # u8 [T, B, A, H, W, 3]
+    actions: jax.Array    # i32 [T, B, A, 6]
+    logp: jax.Array       # f32 [T, B, A]
+    value: jax.Array      # f32 [T, B, A]
+    reward: jax.Array     # f32 [T, B, A]
+    done: jax.Array       # bool [T, B]
+    init_carry: jax.Array  # f32 [B, A, hidden]
+
+
+class LearnerState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: EnvState   # batched [B, ...]
+    obs: jax.Array        # u8 [B, A, H, W, 3] current observations
+    carry: jax.Array      # f32 [B, A, hidden] RNN state
+    rng: jax.Array
+    step: jax.Array       # i32 env steps so far
+
+
+class Learner:
+    """Builds jitted init / train-step functions for one scenario."""
+
+    def __init__(self, scenario: Scenario, num_envs: int, cfg: TrainConfig = TrainConfig()):
+        self.scenario = scenario
+        self.num_envs = num_envs
+        self.cfg = cfg
+        self.model = ActorCritic(hidden_size=cfg.hidden_size, use_rnn=cfg.use_rnn)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr),
+        )
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng: jax.Array, env_state: EnvState, obs: jax.Array) -> LearnerState:
+        scen = self.scenario.cfg
+        dummy = jnp.zeros((1, scen.obs_height, scen.obs_width, 3), jnp.uint8)
+        params = self.model.init(rng, dummy)
+        opt_state = self.tx.init(params)
+        b, a = self.num_envs, scen.num_agents
+        carry = jnp.zeros((b, a, self.cfg.hidden_size), jnp.float32)
+        return LearnerState(params, opt_state, env_state, obs, carry,
+                            jax.random.fold_in(rng, 1), jnp.asarray(0, jnp.int32))
+
+    # --------------------------------------------------------------- rollout
+    def _policy(self, params, obs, carry):
+        return self.model.apply(params, obs, carry)
+
+    def collect_rollout(
+        self, ls: LearnerState, next_scenes: SceneData, shaping: jax.Array
+    ) -> Tuple[LearnerState, RolloutBatch]:
+        scen = self.scenario
+        vstep = jax.vmap(functools.partial(env_step, scen), in_axes=(0, 0, 0, 0))
+        init_carry = ls.carry
+
+        def one_step(carry, _):
+            env_state, obs, rnn, rng = carry
+            rng, k = jax.random.split(rng)
+            logits, value, rnn2 = self._policy(ls.params, obs, rnn)
+            actions, logp = sample_actions(logits, k)
+            mask = multidiscrete_to_bitmask(actions)
+            res = vstep(env_state, next_scenes, mask, shaping)
+            # reset RNN state on episode boundary
+            rnn2 = jnp.where(res.done[:, None, None], 0.0, rnn2)
+            out = (obs, actions.astype(jnp.int32), logp, value, res.reward, res.done)
+            return (res.state, res.obs, rnn2, rng), out
+
+        (env_state, obs, rnn, rng), traj = jax.lax.scan(
+            one_step, (ls.env_state, ls.obs, ls.carry, ls.rng), None,
+            length=self.cfg.rollout,
+        )
+        batch = RolloutBatch(*traj, init_carry=init_carry)
+        new_ls = ls._replace(
+            env_state=env_state, obs=obs, carry=rnn, rng=rng,
+            step=ls.step + self.cfg.rollout * self.num_envs,
+        )
+        return new_ls, batch
+
+    # ------------------------------------------------------------------ loss
+    def _forward_sequence(self, params, batch: RolloutBatch):
+        """Recompute logits/values over the rollout (truncated BPTT from the
+        stored initial carry, APPO-style)."""
+        def step(rnn, inp):
+            obs_t, done_t = inp
+            logits, value, rnn2 = self._policy(params, obs_t, rnn)
+            rnn2 = jnp.where(done_t[:, None, None], 0.0, rnn2)
+            return rnn2, (logits, value)
+
+        _, (logits, values) = jax.lax.scan(
+            step, batch.init_carry, (batch.obs, batch.done)
+        )
+        return logits, values
+
+    def _loss(self, params, batch: RolloutBatch, last_value: jax.Array):
+        cfg = self.cfg
+        # GAE over [T, B, A].
+        done_f = batch.done[..., None].astype(jnp.float32)  # [T, B, 1]
+
+        def gae_step(carry, inp):
+            gae, next_value = carry
+            reward, value, done = inp
+            nonterminal = 1.0 - done
+            delta = reward + cfg.gamma * next_value * nonterminal - value
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+            return (gae, value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            gae_step,
+            (jnp.zeros_like(last_value), last_value),
+            (batch.reward, batch.value, done_f),
+            reverse=True,
+        )
+        returns = advantages + batch.value
+        adv_mean = jnp.mean(advantages)
+        adv_std = jnp.std(advantages) + 1e-8
+        norm_adv = (advantages - adv_mean) / adv_std
+
+        logits, values = self._forward_sequence(params, batch)
+        logp, entropy = action_log_prob_entropy(logits, batch.actions)
+        ratio = jnp.exp(logp - batch.logp)
+        clipped = jnp.clip(ratio, 1.0 - cfg.clip_ratio, 1.0 + cfg.clip_ratio)
+        policy_loss = -jnp.mean(jnp.minimum(ratio * norm_adv, clipped * norm_adv))
+        value_loss = 0.5 * jnp.mean((values - returns) ** 2)
+        expl_loss = jnp.mean(symmetric_kl_from_uniform(logits))
+
+        total = (
+            policy_loss
+            + cfg.value_coeff * value_loss
+            + cfg.exploration_coeff * expl_loss
+        )
+        metrics = {
+            "loss": total,
+            "policy_loss": policy_loss,
+            "value_loss": value_loss,
+            "exploration_loss": expl_loss,
+            "entropy": jnp.mean(entropy),
+            "reward_mean": jnp.mean(batch.reward),
+        }
+        return total, metrics
+
+    # ------------------------------------------------------------ train step
+    def train_step(
+        self,
+        ls: LearnerState,
+        next_scenes: SceneData,
+        shaping: jax.Array,
+        axis_name: Optional[str] = None,
+    ):
+        """One rollout + one PPO update. If axis_name is given, gradients are
+        psum-averaged across that mesh axis (data parallelism over envs)."""
+        ls, batch = self.collect_rollout(ls, next_scenes, shaping)
+        _, last_value, _ = self._policy(ls.params, ls.obs, ls.carry)
+
+        (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            ls.params, batch, last_value
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = self.tx.update(grads, ls.opt_state, ls.params)
+        params = optax.apply_updates(ls.params, updates)
+        ls = ls._replace(params=params, opt_state=opt_state)
+        return ls, metrics
