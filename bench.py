@@ -3,6 +3,9 @@
 Mirrors the reference's `megaverse_test_app --performance_test`
 (src/apps/megaverse_test_app.cpp:149-171: N envs, random actions, FPS report)
 and the DUMMY_SAMPLER sampling benchmark (megaverse_rl/sampling_benchmark.py).
+Every step runs the full pipeline — action decode, KCC physics, scenario
+logic, auto-reset, and the batched render whose uint8 observation tensor is
+forced to materialize on device.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: reference Empty-scenario throughput ~75,000 obs/s (README.md:243-245,
@@ -11,7 +14,6 @@ Baseline: reference Empty-scenario throughput ~75,000 obs/s (README.md:243-245,
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/megaverse_tpu_jax_cache")
@@ -23,46 +25,43 @@ BASELINE_EMPTY_FPS = 75_000.0
 
 
 def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
-                   steps: int, warmup: int = 20) -> float:
+                   chunk: int = 64, chunks: int = 5) -> float:
     import jax
     import jax.numpy as jnp
 
     from megaverse_tpu.vector_env import VectorEnv
+    from megaverse_tpu.types import multidiscrete_to_bitmask
     import megaverse_tpu.constants as C
 
     env = VectorEnv(scenario_name, num_envs=num_envs,
                     num_agents_per_env=num_agents, seed=42)
     env.reset()
 
-    # Pre-generate a pool of random action bitmasks on device.
     rng = np.random.default_rng(0)
-    n_pool = 64
+    n_pool = 16
     md = np.stack(
         [rng.integers(0, s, size=(n_pool, num_envs, num_agents))
          for s in C.ACTION_SPACE_SIZES], axis=-1)
-    from megaverse_tpu.types import multidiscrete_to_bitmask
-    pool = jax.device_put(jnp.asarray(
-        np.asarray(multidiscrete_to_bitmask(jnp.asarray(md)), np.int32)))
+    pool = jax.device_put(multidiscrete_to_bitmask(jnp.asarray(md)))
 
-    for i in range(warmup):
-        obs, *_ = env.step(pool[i % n_pool])
-    jax.block_until_ready(obs)
+    # Warmup (compile).
+    _, dones, csums = env.step_many(pool, chunk)
+    jax.block_until_ready(csums)
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        obs, *_ = env.step(pool[i % n_pool])
-    jax.block_until_ready(obs)
+    for _ in range(chunks):
+        _, dones, csums = env.step_many(pool, chunk)
+    jax.block_until_ready(csums)
     dt = time.perf_counter() - t0
 
-    return num_envs * num_agents * steps / dt
+    return num_envs * num_agents * chunk * chunks / dt
 
 
 def main() -> None:
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
-    steps = int(os.environ.get("BENCH_STEPS", "200"))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
     scenario = os.environ.get("BENCH_SCENARIO", "Empty")
 
-    fps = bench_scenario(scenario, num_envs=num_envs, num_agents=1, steps=steps)
+    fps = bench_scenario(scenario, num_envs=num_envs, num_agents=1)
 
     print(json.dumps({
         "metric": f"obs_per_sec_{scenario.lower()}_{num_envs}env",

@@ -92,8 +92,10 @@ def env_step(
 
 
 def render_state(scenario: Scenario, state: EnvState) -> jax.Array:
-    """Observations for the current state (post-reset frame for done envs,
-    matching vector_env.cpp:94-107 draw ordering)."""
+    """Observations for ONE env (post-reset frame for done envs, matching
+    vector_env.cpp:94-107 draw ordering). Uses the trace-time-unrolled XLA
+    renderer — good for small scenes / single-env use; the batched product
+    path is render_batch."""
     cfg = scenario.cfg
     remaining = jnp.maximum(
         0.0, (state.episode_len_sec - state.episode_sec) / state.episode_len_sec
@@ -107,3 +109,46 @@ def render_state(scenario: Scenario, state: EnvState) -> jax.Array:
         state.agents,
         remaining,
     )
+
+
+def renderer_backend() -> str:
+    """'pallas' (TPU product path) or 'xla' (rolled table scan, CPU/tests).
+
+    Override with MEGAVERSE_RENDERER=pallas|xla.
+    """
+    import os
+
+    env = os.environ.get("MEGAVERSE_RENDERER")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def render_batch(scenario: Scenario, states: EnvState, backend: str | None = None) -> jax.Array:
+    """Observations for a BATCH of envs -> uint8 [B, A, H, W, 3].
+
+    The whole env x agent camera batch renders in one launch — the analogue of
+    the reference's single batched Vulkan submission for all envs
+    (v4r_env_renderer.cpp:338-355).
+    """
+    from megaverse_tpu.ops import raycast_pallas as RP
+
+    cfg = scenario.cfg
+    backend = backend or renderer_backend()
+    remaining = jnp.maximum(
+        0.0, (states.episode_len_sec - states.episode_sec) / states.episode_len_sec
+    )  # [B]
+    cams = jax.vmap(lambda s, tf: RP.build_cams(cfg, s.agents, tf))(states, remaining)
+    prims = jax.vmap(
+        lambda s: RP.build_prim_table(
+            cfg, s.box_lo, s.box_hi, s.box_color, s.props, s.agents
+        )
+    )(states)
+    if backend == "pallas":
+        packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width)
+        return RP.unpack_rgb(packed)
+    # XLA fallback: rolled scan over the same table.
+    def one(s, prim, tf):
+        return R.render_table(cfg, s.agents, prim, tf)
+
+    return jax.vmap(one)(states, prims, remaining)

@@ -401,6 +401,86 @@ def shade(rays: Rays, carry: HitCarry) -> jax.Array:
     return jnp.clip(jnp.stack(out, axis=-1), 0.0, 1.0)
 
 
+def _hud_overlay(cfg: EnvConfig, col: jax.Array, time_fraction: jax.Array) -> jax.Array:
+    """Remaining-time bar, camera-space box at (0,-0.131,-0.2), half extents
+    (0.24*frac, 0.0015, 0.001) (scenario_default.hpp:140-145, 164-169).
+    Composited in 2D; nothing except own (inside-culled) geometry can sit
+    closer than 0.2 m."""
+    w, h = cfg.obs_width, cfg.obs_height
+    tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
+    tan_v = tan_h * h / w
+    u = (np.arange(w, dtype=np.float32) + 0.5) / w * 2.0 - 1.0
+    v = 1.0 - (np.arange(h, dtype=np.float32) + 0.5) / h * 2.0
+    bar_half_u = 0.24 * time_fraction / (0.2 * tan_h)     # [()] or [A]
+    bar_v = -0.131 / (0.2 * tan_v)
+    bar_half_v = 0.0015 / (0.2 * tan_v)
+    in_u = jnp.abs(jnp.asarray(u))[None, None, :] <= jnp.reshape(bar_half_u, (-1, 1, 1))
+    in_v = jnp.asarray(np.abs(v - bar_v) <= bar_half_v)[None, :, None]
+    bar_mask = (in_u & in_v)[..., None]  # [A?, h, w, 1]
+    bar_color = jnp.asarray(C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0]))
+    return jnp.where(bar_mask, bar_color, col)
+
+
+def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
+                 time_fraction: jax.Array) -> jax.Array:
+    """Rolled-loop renderer over a unified primitive table [M, 16] (see
+    ops/raycast_pallas.py for the row encoding). Compile time is O(1) in M —
+    this is the CPU/test backend matching the Pallas kernel's semantics."""
+    from megaverse_tpu.ops import raycast_pallas as RP
+
+    rays = make_rays(cfg, agents)
+    shape = rays.dx.shape
+    zero = jnp.zeros(shape)
+
+    def eyebox(row):
+        cam = row[1:4]
+        byaw, bpitch = row[4], row[5]
+        cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
+        cpj, spj = jnp.cos(bpitch), jnp.sin(bpitch)
+        ox, oy, oz = rays.ox - cam[0], rays.oy - cam[1], rays.oz - cam[2]
+        lx = cyj * ox - syj * oz
+        lz1 = syj * ox + cyj * oz
+        ly = cpj * oy + spj * lz1
+        lz = -spj * oy + cpj * lz1
+        dlx = cyj * rays.dx - syj * rays.dz
+        dlz1 = syj * rays.dx + cyj * rays.dz
+        dly = cpj * rays.dy + spj * dlz1
+        dlz = -spj * rays.dy + cpj * dlz1
+        eps = 1e-12
+        safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+        local = Rays(ox=lx, oy=ly, oz=lz, dx=dlx, dy=dly, dz=dlz,
+                     ix=1.0 / safe(dlx), iy=1.0 / safe(dly), iz=1.0 / safe(dlz))
+        t, (nlx, nly, nlz) = box_hit(
+            local, _EYE_OFFSET - _EYE_HALF, _EYE_OFFSET + _EYE_HALF)
+        wy = cpj * nly - spj * nlz
+        wz1 = spj * nly + cpj * nlz
+        wx = cyj * nlx + syj * wz1
+        wz = -syj * nlx + cyj * wz1
+        return t, (wx, wy, wz)
+
+    def body(carry, row):
+        ptype = row[0].astype(jnp.int32)
+        a = row[1:4]
+        b = row[4:7]
+        branches = [
+            lambda: box_hit(rays, a, b),
+            lambda: ellipsoid_hit(rays, a, b),
+            lambda: cylinder_hit(rays, a, b[0], b[1], b[2]),
+            lambda: cone_hit(rays, a, b[0], b[1], b[2], jnp.asarray(False)),
+            lambda: cone_hit(rays, a, b[0], b[1], b[2], jnp.asarray(True)),
+            eyebox_b := (lambda: eyebox(row)),
+        ]
+        t, n = jax.lax.switch(jnp.clip(ptype, 0, 5), branches)
+        t = jnp.where(ptype >= 0, t, INF)
+        return _select(carry, t, n, (row[7], row[8], row[9])), None
+
+    init = HitCarry(t=zero + INF, nx=zero, ny=zero, nz=zero, r=zero, g=zero, b=zero)
+    carry, _ = jax.lax.scan(body, init, prims)
+    col = shade(rays, carry)
+    col = _hud_overlay(cfg, col, time_fraction)
+    return (col * 255.0 + 0.5).astype(jnp.uint8)
+
+
 def render(
     cfg: EnvConfig,
     box_lo: jax.Array,
@@ -410,7 +490,11 @@ def render(
     agents: AgentState,
     time_fraction: jax.Array,
 ) -> jax.Array:
-    """Render all agent views of one env -> uint8 [A, H, W, 3]."""
+    """Render all agent views of one env -> uint8 [A, H, W, 3].
+
+    Trace-time-unrolled primitive loop: fastest XLA form for SMALL scenes
+    (compile time is linear in primitive count; use render_table or the
+    Pallas kernel for large scenes)."""
     palette = jnp.asarray(C.PALETTE)
     rays = make_rays(cfg, agents)
 

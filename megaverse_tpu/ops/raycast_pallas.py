@@ -1,0 +1,437 @@
+"""Pallas TPU kernel for the analytic raycasting renderer.
+
+The XLA renderer (ops/raycast.py) unrolls the primitive loop at trace time,
+which is fast for small scenes but makes compile time linear in primitive
+count (Collect scenes reach ~1000 primitives). This kernel keeps the loop
+ROLLED: each program instance renders an 8x128 pixel tile (one VPU register
+tile) of one agent's view, walking a unified per-env primitive table that
+lives in VMEM, with the closest-hit carry held in registers. Branching on the
+primitive type happens on a scalar, so only one intersection routine executes
+per table row.
+
+Unified primitive row (16 f32):
+  [0]     type: 0=aabb, 1=ellipsoid, 2=cylinder-y, 3=cone-y, 4=cone-y flipped,
+          5=yaw/pitch-rotated eye box, <0 = unused slot
+  [1:4]   a: box lo / center / camera pos
+  [4:7]   b: box hi / radii / (rx, rz, half_h) / (yaw, pitch, -)
+  [7:10]  rgb albedo
+Camera row (8 f32): eye xyz, yaw, pitch, time_fraction.
+
+Output: packed RGB in int32 [B, A, H, W] (unpacked to uint8 by the caller).
+
+Geometry/shading semantics identical to ops/raycast.py (see its docstring for
+reference citations).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.types import AgentState, EnvConfig, PropState, PROP_FLAG_VISIBLE
+
+INF = 1e30
+TILE_H = 8
+TILE_W = 128
+
+PRIM_AABB = 0
+PRIM_ELLIPSOID = 1
+PRIM_CYLINDER = 2
+PRIM_CONE = 3
+PRIM_CONE_FLIPPED = 4
+PRIM_EYEBOX = 5
+
+_EYE_HALF = (0.25, 0.12, 0.2)
+_EYE_OFFSET = (0.0, 0.0, -0.19)
+
+
+def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
+    # ---- camera scalars ----
+    agent = pl.program_id(1)
+    ex = cam_ref[0, agent, 0]
+    ey = cam_ref[0, agent, 1]
+    ez = cam_ref[0, agent, 2]
+    yaw = cam_ref[0, agent, 3]
+    pitch = cam_ref[0, agent, 4]
+    time_frac = cam_ref[0, agent, 5]
+
+    tile_row = pl.program_id(2)
+
+    tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2)).astype(np.float32)
+    tan_v = np.float32(tan_h * height / width)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    rowf = rows + tile_row * TILE_H
+    u = ((cols + 0.5) / width * 2.0 - 1.0) * tan_h
+    v = (1.0 - (rowf + 0.5) / height * 2.0) * tan_v
+    inv_len = jax.lax.rsqrt(u * u + v * v + 1.0)
+    dx0 = u * inv_len
+    dy0 = v * inv_len
+    dz0 = -inv_len
+
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    y1 = cp * dy0 - sp * dz0
+    z1 = sp * dy0 + cp * dz0
+    dx = cy * dx0 + sy * z1
+    dy = y1
+    dz = -sy * dx0 + cy * z1
+
+    eps = 1e-12
+    ix = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
+    iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
+    iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
+
+    near = np.float32(C.CAMERA_NEAR)
+
+    # ---- intersection routines (share the ray tile via closure) ----
+    def aabb(lox, loy, loz, hix, hiy, hiz, ox, oy, oz, rdx, rdy, rdz, rix, riy, riz):
+        t1x = (lox - ox) * rix
+        t2x = (hix - ox) * rix
+        t1y = (loy - oy) * riy
+        t2y = (hiy - oy) * riy
+        t1z = (loz - oz) * riz
+        t2z = (hiz - oz) * riz
+        tminx = jnp.minimum(t1x, t2x)
+        tminy = jnp.minimum(t1y, t2y)
+        tminz = jnp.minimum(t1z, t2z)
+        tmin = jnp.maximum(tminx, jnp.maximum(tminy, tminz))
+        tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                           jnp.minimum(jnp.maximum(t1y, t2y), jnp.maximum(t1z, t2z)))
+        hit = (tmax >= tmin) & (tmin > near)
+        t = jnp.where(hit, tmin, INF)
+        is_x = tmin == tminx
+        is_y = (~is_x) & (tmin == tminy)
+        nx = jnp.where(is_x, -jnp.sign(rdx), 0.0)
+        ny = jnp.where(is_y, -jnp.sign(rdy), 0.0)
+        nz = jnp.where(is_x | is_y, 0.0, -jnp.sign(rdz))
+        return t, nx, ny, nz
+
+    def prim_aabb(a0, a1, a2, b0, b1, b2):
+        return aabb(a0, a1, a2, b0, b1, b2, ex, ey, ez, dx, dy, dz, ix, iy, iz)
+
+    def prim_ellipsoid(cx0, cy0, cz0, rx, ry, rz):
+        irx, iry, irz = 1.0 / rx, 1.0 / ry, 1.0 / rz
+        qx = (ex - cx0) * irx
+        qy = (ey - cy0) * iry
+        qz = (ez - cz0) * irz
+        ddx = dx * irx
+        ddy = dy * iry
+        ddz = dz * irz
+        a = ddx * ddx + ddy * ddy + ddz * ddz
+        b = qx * ddx + qy * ddy + qz * ddz
+        c0 = qx * qx + qy * qy + qz * qz - 1.0
+        disc = b * b - a * c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = (-b - sq) / jnp.maximum(a, 1e-12)
+        hit = (disc > 0) & (t > near)
+        t = jnp.where(hit, t, INF)
+        nx = (ex + t * dx - cx0) * irx * irx
+        ny = (ey + t * dy - cy0) * iry * iry
+        nz = (ez + t * dz - cz0) * irz * irz
+        inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-18)
+        return t, nx * inv, ny * inv, nz * inv
+
+    def prim_cylinder(cx0, cy0, cz0, rx, rz, half_h):
+        qx = (ex - cx0) / rx
+        qz = (ez - cz0) / rz
+        ddx = dx / rx
+        ddz = dz / rz
+        a = ddx * ddx + ddz * ddz
+        b = qx * ddx + qz * ddz
+        c0 = qx * qx + qz * qz - 1.0
+        disc = b * b - a * c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_side = (-b - sq) / jnp.maximum(a, 1e-12)
+        y_side = ey + t_side * dy - cy0
+        side_ok = (disc > 0) & (t_side > near) & (jnp.abs(y_side) <= half_h)
+        t_side = jnp.where(side_ok, t_side, INF)
+
+        sign = -jnp.sign(dy)
+        cap_y = cy0 + sign * half_h
+        t_cap = (cap_y - ey) * iy
+        px = (ex + t_cap * dx - cx0) / rx
+        pz = (ez + t_cap * dz - cz0) / rz
+        cap_ok = (t_cap > near) & (px * px + pz * pz <= 1.0)
+        t_cap = jnp.where(cap_ok, t_cap, INF)
+
+        use_cap = t_cap < t_side
+        t = jnp.minimum(t_side, t_cap)
+        snx = (ex + t * dx - cx0) / (rx * rx)
+        snz = (ez + t * dz - cz0) / (rz * rz)
+        inv = jax.lax.rsqrt(snx * snx + snz * snz + 1e-18)
+        nx = jnp.where(use_cap, 0.0, snx * inv)
+        ny = jnp.where(use_cap, sign, 0.0)
+        nz = jnp.where(use_cap, 0.0, snz * inv)
+        return t, nx, ny, nz
+
+    def prim_cone(cx0, cy0, cz0, rx, rz, half_h, s):
+        apex_y = cy0 + s * half_h
+        qx = (ex - cx0) / rx
+        qz = (ez - cz0) / rz
+        qy = (ey - apex_y) * s
+        ddx = dx / rx
+        ddz = dz / rz
+        ddy = dy * s
+        k = 1.0 / (2.0 * half_h)
+        a = ddx * ddx + ddz * ddz - (k * ddy) ** 2
+        b = qx * ddx + qz * ddz - k * k * qy * ddy
+        c0 = qx * qx + qz * qz - (k * qy) ** 2
+        disc = b * b - a * c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        asafe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+        t1 = (-b - sq) / asafe
+        t2 = (-b + sq) / asafe
+
+        def ok(t):
+            yy = qy + t * ddy
+            return (disc > 0) & (t > near) & (yy <= 0) & (yy >= -2.0 * half_h)
+
+        t_side = jnp.where(ok(t1), t1, jnp.where(ok(t2), t2, INF))
+
+        base_y = apex_y - s * 2.0 * half_h
+        t_cap = (base_y - ey) * iy
+        px = (ex + t_cap * dx - cx0) / rx
+        pz = (ez + t_cap * dz - cz0) / rz
+        cap_ok = (t_cap > near) & (px * px + pz * pz <= 1.0)
+        t_cap = jnp.where(cap_ok, t_cap, INF)
+
+        use_cap = t_cap < t_side
+        t = jnp.minimum(t_side, t_cap)
+        relx = ex + t * dx - cx0
+        rely = ey + t * dy - apex_y
+        relz = ez + t * dz - cz0
+        snx = relx / (rx * rx)
+        sny = -(k * k) * rely
+        snz = relz / (rz * rz)
+        inv = jax.lax.rsqrt(snx * snx + sny * sny + snz * snz + 1e-18)
+        nx = jnp.where(use_cap, 0.0, snx * inv)
+        ny = jnp.where(use_cap, -s, sny * inv)
+        nz = jnp.where(use_cap, 0.0, snz * inv)
+        return t, nx, ny, nz
+
+    def prim_eyebox(cx0, cy0, cz0, byaw, bpitch):
+        cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
+        cpj, spj = jnp.cos(bpitch), jnp.sin(bpitch)
+        ox, oy, oz = ex - cx0, ey - cy0, ez - cz0
+        lx = cyj * ox - syj * oz
+        lz1 = syj * ox + cyj * oz
+        ly = cpj * oy + spj * lz1
+        lz = -spj * oy + cpj * lz1
+        dlx = cyj * dx - syj * dz
+        dlz1 = syj * dx + cyj * dz
+        dly = cpj * dy + spj * dlz1
+        dlz = -spj * dy + cpj * dlz1
+        eps2 = 1e-12
+        rix = 1.0 / jnp.where(jnp.abs(dlx) < eps2, eps2, dlx)
+        riy = 1.0 / jnp.where(jnp.abs(dly) < eps2, eps2, dly)
+        riz = 1.0 / jnp.where(jnp.abs(dlz) < eps2, eps2, dlz)
+        t, nlx, nly, nlz = aabb(
+            _EYE_OFFSET[0] - _EYE_HALF[0], _EYE_OFFSET[1] - _EYE_HALF[1], _EYE_OFFSET[2] - _EYE_HALF[2],
+            _EYE_OFFSET[0] + _EYE_HALF[0], _EYE_OFFSET[1] + _EYE_HALF[1], _EYE_OFFSET[2] + _EYE_HALF[2],
+            lx, ly, lz, dlx, dly, dlz, rix, riy, riz,
+        )
+        wy = cpj * nly - spj * nlz
+        wz1 = spj * nly + cpj * nlz
+        wx = cyj * nlx + syj * wz1
+        wz = -syj * nlx + cyj * wz1
+        return t, wx, wy, wz
+
+    # ---- primitive loop ----
+    def body(i, carry):
+        bt, bnx, bny, bnz, br, bg, bb = carry
+        ptype = prims_ref[0, i, 0].astype(jnp.int32)
+        a0 = prims_ref[0, i, 1]
+        a1 = prims_ref[0, i, 2]
+        a2 = prims_ref[0, i, 3]
+        b0 = prims_ref[0, i, 4]
+        b1 = prims_ref[0, i, 5]
+        b2 = prims_ref[0, i, 6]
+
+        t, nx, ny, nz = jax.lax.switch(
+            jnp.clip(ptype, 0, 5),
+            [
+                lambda: prim_aabb(a0, a1, a2, b0, b1, b2),
+                lambda: prim_ellipsoid(a0, a1, a2, b0, b1, b2),
+                lambda: prim_cylinder(a0, a1, a2, b0, b1, b2),
+                lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(1.0)),
+                lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(-1.0)),
+                lambda: prim_eyebox(a0, a1, a2, b0, b1),
+            ],
+        )
+        t = jnp.where(ptype >= 0, t, INF)
+        closer = t < bt
+        return (
+            jnp.where(closer, t, bt),
+            jnp.where(closer, nx, bnx),
+            jnp.where(closer, ny, bny),
+            jnp.where(closer, nz, bnz),
+            jnp.where(closer, prims_ref[0, i, 7], br),
+            jnp.where(closer, prims_ref[0, i, 8], bg),
+            jnp.where(closer, prims_ref[0, i, 9], bb),
+        )
+
+    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    init = (zero + INF, zero, zero, zero, zero, zero, zero)
+    t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(0, num_prims, body, init)
+
+    # ---- shading (Blinn-Phong, light (0,4,2) x 0.66, shininess 300) ----
+    px = ex + t * dx
+    py = ey + t * dy
+    pz = ez + t * dz
+    lx = C.LIGHT_POSITION[0] - px
+    ly = C.LIGHT_POSITION[1] - py
+    lz = C.LIGHT_POSITION[2] - pz
+    inv = jax.lax.rsqrt(lx * lx + ly * ly + lz * lz + 1e-12)
+    lx, ly, lz = lx * inv, ly * inv, lz * inv
+    ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    hx, hy, hz = lx - dx, ly - dy, lz - dz
+    inv_h = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-12)
+    ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0) * inv_h
+    spec = jnp.exp(C.LIGHT_SHININESS * jnp.log(jnp.maximum(ndh, 1e-6)))
+
+    lc = np.float32(C.LIGHT_COLOR[0])
+    diff = 0.3 + ndl * lc
+    sp_term = spec * lc
+    miss = t >= C.CAMERA_FAR
+    r = jnp.where(miss, C.SKY_COLOR[0], cr * diff + sp_term)
+    g = jnp.where(miss, C.SKY_COLOR[1], cg * diff + sp_term)
+    b = jnp.where(miss, C.SKY_COLOR[2], cb * diff + sp_term)
+
+    # ---- HUD time bar (scenario_default.hpp:140-145, 164-169) ----
+    bar_half_u = 0.24 * time_frac / (0.2 * tan_h)
+    bar_v = np.float32(-0.131 / (0.2 * tan_v))
+    bar_half_v = np.float32(0.0015 / (0.2 * tan_v))
+    uu = (cols + 0.5) / width * 2.0 - 1.0
+    vv = 1.0 - (rowf + 0.5) / height * 2.0
+    in_bar = (jnp.abs(uu) <= bar_half_u) & (jnp.abs(vv - bar_v) <= bar_half_v)
+    bar = C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0])
+    r = jnp.where(in_bar, np.float32(bar[0]), r)
+    g = jnp.where(in_bar, np.float32(bar[1]), g)
+    b = jnp.where(in_bar, np.float32(bar[2]), b)
+
+    to8 = lambda c: jnp.clip(c * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+    out_ref[0, 0] = (to8(r) << 16) | (to8(g) << 8) | to8(b)
+
+
+def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int) -> jax.Array:
+    """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W]."""
+    bsz, num_agents, _ = cams.shape
+    num_prims = prims.shape[1]
+    assert height % TILE_H == 0 and width == TILE_W, (height, width)
+
+    kernel = functools.partial(
+        _render_kernel, height=height, width=width, num_prims=num_prims
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, num_agents, height // TILE_H),
+        in_specs=[
+            pl.BlockSpec((1, num_agents, 8), lambda b, a, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_prims, 16), lambda b, a, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TILE_H, TILE_W),
+                               lambda b, a, h: (b, a, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, num_agents, height, width), jnp.int32),
+    )(cams, prims)
+
+
+# ---------------------------------------------------------------------------
+# Primitive-table construction (plain JAX, per env; vmapped by the caller).
+# ---------------------------------------------------------------------------
+
+def build_prim_table(
+    cfg: EnvConfig,
+    box_lo: jax.Array,
+    box_hi: jax.Array,
+    box_color: jax.Array,
+    props: PropState,
+    agents: AgentState,
+) -> jax.Array:
+    """Unified primitive table [M_total, 16] for one env."""
+    palette = jnp.asarray(C.PALETTE, jnp.float32)
+
+    # Layout boxes.
+    m = box_lo.shape[0]
+    t_box = jnp.where(box_color > 0, PRIM_AABB, -1).astype(jnp.float32)
+    rows_box = jnp.concatenate(
+        [t_box[:, None], box_lo, box_hi, palette[box_color],
+         jnp.zeros((m, 6), jnp.float32)], axis=1)
+
+    # Props.
+    p = props.type.shape[0]
+    pt = props.type.astype(jnp.int32)
+    visible = ((props.flags & PROP_FLAG_VISIBLE) != 0) & (pt != C.PROP_NONE)
+    sc = jnp.abs(props.scale)
+    flipped = props.scale[:, 1] < 0
+
+    ktype = jnp.select(
+        [pt == C.PROP_BOX,
+         (pt == C.PROP_SPHERE) | (pt == C.PROP_CAPSULE),
+         pt == C.PROP_CYLINDER,
+         (pt == C.PROP_CONE) & ~flipped,
+         (pt == C.PROP_CONE) & flipped],
+        [PRIM_AABB, PRIM_ELLIPSOID, PRIM_CYLINDER, PRIM_CONE, PRIM_CONE_FLIPPED],
+        -1,
+    )
+    ktype = jnp.where(visible, ktype, -1).astype(jnp.float32)
+
+    is_box = (pt == C.PROP_BOX)[:, None]
+    a_vec = jnp.where(is_box, props.pos - sc, props.pos)
+    radii = sc.at[:, 1].set(jnp.where(pt == C.PROP_CAPSULE, 2.0 * sc[:, 1], sc[:, 1]))
+    quad_b = jnp.stack([sc[:, 0], sc[:, 2], 0.5 * sc[:, 1]], axis=1)
+    is_ell = ((pt == C.PROP_SPHERE) | (pt == C.PROP_CAPSULE))[:, None]
+    b_vec = jnp.where(is_box, props.pos + sc, jnp.where(is_ell, radii, quad_b))
+    rows_prop = jnp.concatenate(
+        [ktype[:, None], a_vec, b_vec, palette[props.color],
+         jnp.zeros((p, 6), jnp.float32)], axis=1)
+
+    # Agent bodies + eye boxes.
+    num_agents = agents.pos.shape[0]
+    body_c = agents.pos + jnp.asarray(
+        [0.0, C.AGENT_BODY_OFFSET_Y + 0.09, 0.0], jnp.float32)
+    body_r = jnp.tile(jnp.asarray([[0.35, 0.72, 0.35]], jnp.float32), (num_agents, 1))
+    agent_colors = jnp.asarray(C.AGENT_COLORS)
+    body_rgb = palette[agent_colors[jnp.arange(num_agents) % agent_colors.shape[0]]]
+    rows_body = jnp.concatenate(
+        [jnp.full((num_agents, 1), PRIM_ELLIPSOID, jnp.float32), body_c, body_r,
+         body_rgb, jnp.zeros((num_agents, 6), jnp.float32)], axis=1)
+
+    cam_pos = agents.pos + jnp.asarray(
+        [0.0, C.AGENT_BODY_OFFSET_Y + C.AGENT_CAMERA_OFFSET_Y, 0.0], jnp.float32)
+    eye_rgb = jnp.tile(palette[C.COLOR_IDX["AGENT_EYES"]][None], (num_agents, 1))
+    rows_eyes = jnp.concatenate(
+        [jnp.full((num_agents, 1), PRIM_EYEBOX, jnp.float32), cam_pos,
+         jnp.stack([agents.yaw, agents.pitch, jnp.zeros_like(agents.yaw)], axis=1),
+         eye_rgb, jnp.zeros((num_agents, 6), jnp.float32)], axis=1)
+
+    return jnp.concatenate([rows_box, rows_prop, rows_body, rows_eyes], axis=0)
+
+
+def build_cams(cfg: EnvConfig, agents: AgentState, time_fraction) -> jax.Array:
+    """Camera table [A, 8] for one env."""
+    num_agents = agents.pos.shape[0]
+    eye = agents.pos + jnp.asarray(
+        [0.0, C.AGENT_BODY_OFFSET_Y + C.AGENT_CAMERA_OFFSET_Y, 0.0], jnp.float32)
+    tf = jnp.broadcast_to(jnp.asarray(time_fraction, jnp.float32), (num_agents,))
+    return jnp.concatenate(
+        [eye, agents.yaw[:, None], agents.pitch[:, None], tf[:, None],
+         jnp.zeros((num_agents, 2), jnp.float32)], axis=1)
+
+
+def unpack_rgb(packed: jax.Array) -> jax.Array:
+    """int32 [..., H, W] packed -> uint8 [..., H, W, 3]."""
+    r = (packed >> 16) & 0xFF
+    g = (packed >> 8) & 0xFF
+    b = packed & 0xFF
+    return jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)

@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from megaverse_tpu import constants as C
-from megaverse_tpu.env import env_step
+from megaverse_tpu.env import env_step, render_batch
 from megaverse_tpu.models.actor_critic import (
     ActorCritic,
     action_log_prob_entropy,
@@ -102,7 +102,9 @@ class Learner:
         self, ls: LearnerState, next_scenes: SceneData, shaping: jax.Array
     ) -> Tuple[LearnerState, RolloutBatch]:
         scen = self.scenario
-        vstep = jax.vmap(functools.partial(env_step, scen), in_axes=(0, 0, 0, 0))
+        vstep = jax.vmap(
+            functools.partial(env_step, scen, render_obs=False), in_axes=(0, 0, 0, 0)
+        )
         init_carry = ls.carry
 
         def one_step(carry, _):
@@ -112,10 +114,11 @@ class Learner:
             actions, logp = sample_actions(logits, k)
             mask = multidiscrete_to_bitmask(actions)
             res = vstep(env_state, next_scenes, mask, shaping)
+            new_obs = render_batch(scen, res.state)
             # reset RNN state on episode boundary
             rnn2 = jnp.where(res.done[:, None, None], 0.0, rnn2)
             out = (obs, actions.astype(jnp.int32), logp, value, res.reward, res.done)
-            return (res.state, res.obs, rnn2, rng), out
+            return (res.state, new_obs, rnn2, rng), out
 
         (env_state, obs, rnn, rng), traj = jax.lax.scan(
             one_step, (ls.env_state, ls.obs, ls.carry, ls.rng), None,

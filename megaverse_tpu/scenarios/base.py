@@ -51,6 +51,7 @@ class HostScene:
         self.vtype = np.zeros((x, y, z), np.uint8)
         self.vcolor = np.zeros((x, y, z), np.uint8)
         self.vterrain = np.zeros((x, y, z), np.uint8)
+        self.vobj = np.zeros((x, y, z), np.int16)
         self.extra_boxes: List[Tuple[np.ndarray, np.ndarray, int]] = []
         self.props_type: List[int] = []
         self.props_pos: List[np.ndarray] = []
@@ -129,6 +130,24 @@ class HostScene:
         self.props_flags.append(flags)
         return len(self.props_type) - 1
 
+    def add_movable_box(self, voxel) -> int:
+        """Movable 0.39-half-extent box occupying `voxel` (int coords).
+
+        Mirrors ObjectStackingComponent::addDrawablesAndCollisions
+        (component_object_stacking.hpp:170-198): drawn at the voxel center,
+        collision via the voxel grid, registered in the object-slot field.
+        """
+        g = self.cfg.grid
+        voxel = np.asarray(voxel, np.int64)
+        center = np.asarray(g.origin) + (voxel + 0.5) * g.voxel_size
+        idx = self.add_prop(
+            C.PROP_BOX, center, (0.39, 0.39, 0.39), C.COLOR_IDX["MOVABLE_BOX"],
+            solid=True, movable=True,
+        )
+        self.vobj[tuple(voxel)] = idx + 1
+        self.vtype[tuple(voxel)] |= C.VOXEL_SOLID
+        return idx
+
     # -- agents -------------------------------------------------------------
     def spawn_agents_at(self, positions, rng: np.random.Generator) -> None:
         """Standard spawn (scenario_default.hpp:80-97): +(.5,0,.5) cell centering,
@@ -176,6 +195,7 @@ class HostScene:
             vtype=self.vtype,
             vcolor=self.vcolor,
             vterrain=self.vterrain,
+            vobj=self.vobj,
             box_lo=box_lo,
             box_hi=box_hi,
             box_color=box_color,

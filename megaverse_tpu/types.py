@@ -149,6 +149,7 @@ class SceneData(struct.PyTreeNode):
     vtype: jax.Array    # uint8 [X,Y,Z] voxel bit flags (VOXEL_*)
     vcolor: jax.Array   # uint8 [X,Y,Z] palette index
     vterrain: jax.Array  # uint8 [X,Y,Z] terrain bit flags (TERRAIN_*)
+    vobj: jax.Array     # int16 [X,Y,Z] prop index + 1 occupying the voxel (0 = none)
     box_lo: jax.Array   # f32 [M,3] merged layout boxes (render), world coords
     box_hi: jax.Array   # f32 [M,3]
     box_color: jax.Array  # uint8 [M] palette index, 0 = unused slot
@@ -169,6 +170,7 @@ class EnvState(struct.PyTreeNode):
     vtype: jax.Array
     vcolor: jax.Array
     vterrain: jax.Array
+    vobj: jax.Array
     box_lo: jax.Array
     box_hi: jax.Array
     box_color: jax.Array
@@ -208,6 +210,7 @@ def state_from_scene(scene: SceneData, num_agents: int, rng: jax.Array) -> EnvSt
         vtype=scene.vtype,
         vcolor=scene.vcolor,
         vterrain=scene.vterrain,
+        vobj=scene.vobj,
         box_lo=scene.box_lo,
         box_hi=scene.box_hi,
         box_color=scene.box_color,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from megaverse_tpu import constants as C
-from megaverse_tpu.env import env_step, render_state
+from megaverse_tpu.env import env_step, render_batch
 from megaverse_tpu.scenarios import make_scenario
 from megaverse_tpu.scenarios.base import Scenario
 from megaverse_tpu.types import (
@@ -70,12 +70,24 @@ class VectorEnv:
         )
 
         scen = self.scenario
+        do_render = self.render_obs
 
         def _step(state, next_scene, action, shaping):
-            return env_step(scen, state, next_scene, action, shaping, self.render_obs)
+            return env_step(scen, state, next_scene, action, shaping, render_obs=False)
 
-        self._vstep = jax.jit(jax.vmap(_step, in_axes=(0, 0, 0, 0)))
-        self._vrender = jax.jit(jax.vmap(lambda s: render_state(scen, s)))
+        self._vstep_inner = jax.vmap(_step, in_axes=(0, 0, 0, 0))
+
+        def _step_render(state, next_scenes, action, shaping):
+            res = self._vstep_inner(state, next_scenes, action, shaping)
+            if do_render:
+                obs = render_batch(scen, res.state)
+            else:
+                obs = res.obs
+            return res._replace(obs=obs)
+
+        self._step_render = _step_render
+        self._vstep = jax.jit(_step_render)
+        self._vrender = jax.jit(lambda s: render_batch(scen, s))
         self._vinit = jax.jit(
             jax.vmap(lambda sc, key: state_from_scene(sc, num_agents_per_env, key))
         )
@@ -130,6 +142,55 @@ class VectorEnv:
             self._refill_consumed_slots()
 
         return result.obs, result.reward, result.done, result.true_objective
+
+    def step_many(self, action_pool: jax.Array, n_steps: int):
+        """Scan `n_steps` env steps in one dispatch (throughput path).
+
+        `action_pool` is a device array [K, B, A] of int32 bitmasks; step i
+        uses pool[i % K]. Returns (last_obs, dones [n, B], checksums [n]).
+        The per-step observation tensors are forced to materialize (via an
+        optimization barrier) so the benchmark measures real obs production,
+        then reduced to checksums instead of being shipped to the host.
+
+        n_steps should stay well below the shortest episode length in steps so
+        a layout-buffer slot cannot be consumed twice within one scan.
+        """
+        if self.state is None:
+            self.reset()
+        self._refill_consumed_slots()
+        pool = jnp.asarray(action_pool, jnp.int32)
+
+        if not hasattr(self, "_scan_fns"):
+            self._scan_fns = {}
+        key = (n_steps, pool.shape)
+        if key not in self._scan_fns:
+            vstep = self._step_render
+
+            def run(state, next_scenes, pool, shaping):
+                def body(carry, i):
+                    state, _ = carry
+                    res = vstep(state, next_scenes, pool[i % pool.shape[0]], shaping)
+                    obs = jax.lax.optimization_barrier(res.obs)
+                    csum = jnp.sum(obs[..., ::16, ::16, 0].astype(jnp.int32))
+                    return (res.state, obs), (res.done, csum)
+
+                obs0 = jnp.zeros(
+                    (state.done.shape[0], self.num_agents_per_env,
+                     self.scenario.cfg.obs_height, self.scenario.cfg.obs_width, 3),
+                    jnp.uint8,
+                )
+                (state, last_obs), (dones, csums) = jax.lax.scan(
+                    body, (state, obs0), jnp.arange(n_steps))
+                return state, dones, csums, last_obs
+
+            self._scan_fns[key] = jax.jit(run)
+
+        self.state, dones, csums, last_obs = self._scan_fns[key](
+            self.state, self.next_scenes, pool, self.shaping
+        )
+        self._pending_dones.append(jnp.any(dones, axis=0))
+        self._steps_since_poll = 0  # refilled at next step_many/flush
+        return last_obs, dones, csums
 
     def flush(self) -> None:
         """Force buffer refill bookkeeping (call before relying on layouts)."""
