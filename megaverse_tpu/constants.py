@@ -110,6 +110,7 @@ PROP_CAPSULE = 1
 PROP_SPHERE = 2
 PROP_CONE = 3
 PROP_CYLINDER = 4
+PROP_ROTBOX = 5  # y-rotated box (maze walls); not a reference drawable type
 
 # ---------------------------------------------------------------------------
 # Color palette (ref: const.hpp:25-143). Index into PALETTE is the canonical

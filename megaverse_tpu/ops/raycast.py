@@ -458,6 +458,25 @@ def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
         wz = -syj * nlx + cyj * wz1
         return t, (wx, wy, wz)
 
+    def rotbox(row):
+        center = row[1:4]
+        byaw = row[4]
+        half = row[10:13]
+        cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
+        ox, oy, oz = rays.ox - center[0], rays.oy - center[1], rays.oz - center[2]
+        lx = cyj * ox - syj * oz
+        lz = syj * ox + cyj * oz
+        dlx = cyj * rays.dx - syj * rays.dz
+        dlz = syj * rays.dx + cyj * rays.dz
+        eps = 1e-12
+        safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+        local = Rays(ox=lx, oy=oy, oz=lz, dx=dlx, dy=rays.dy, dz=dlz,
+                     ix=1.0 / safe(dlx), iy=rays.iy, iz=1.0 / safe(dlz))
+        t, (nlx, nly, nlz) = box_hit(local, -half, half)
+        wx = cyj * nlx + syj * nlz
+        wz = -syj * nlx + cyj * nlz
+        return t, (wx, nly, wz)
+
     def body(carry, row):
         ptype = row[0].astype(jnp.int32)
         a = row[1:4]
@@ -468,9 +487,10 @@ def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
             lambda: cylinder_hit(rays, a, b[0], b[1], b[2]),
             lambda: cone_hit(rays, a, b[0], b[1], b[2], jnp.asarray(False)),
             lambda: cone_hit(rays, a, b[0], b[1], b[2], jnp.asarray(True)),
-            eyebox_b := (lambda: eyebox(row)),
+            lambda: eyebox(row),
+            lambda: rotbox(row),
         ]
-        t, n = jax.lax.switch(jnp.clip(ptype, 0, 5), branches)
+        t, n = jax.lax.switch(jnp.clip(ptype, 0, 6), branches)
         t = jnp.where(ptype >= 0, t, INF)
         return _select(carry, t, n, (row[7], row[8], row[9])), None
 

@@ -11,10 +11,11 @@ per table row.
 
 Unified primitive row (16 f32):
   [0]     type: 0=aabb, 1=ellipsoid, 2=cylinder-y, 3=cone-y, 4=cone-y flipped,
-          5=yaw/pitch-rotated eye box, <0 = unused slot
+          5=yaw/pitch-rotated eye box, 6=y-rotated box, <0 = unused slot
   [1:4]   a: box lo / center / camera pos
   [4:7]   b: box hi / radii / (rx, rz, half_h) / (yaw, pitch, -)
   [7:10]  rgb albedo
+  [10:13] c: rotated-box half extents (type 6)
 Camera row (8 f32): eye xyz, yaw, pitch, time_fraction.
 
 Output: packed RGB in int32 [B, A, H, W] (unpacked to uint8 by the caller).
@@ -46,6 +47,7 @@ PRIM_CYLINDER = 2
 PRIM_CONE = 3
 PRIM_CONE_FLIPPED = 4
 PRIM_EYEBOX = 5
+PRIM_ROTBOX = 6  # y-rotated box: a=center, b=(yaw,-,-), c=half extents
 
 _EYE_HALF = (0.25, 0.12, 0.2)
 _EYE_OFFSET = (0.0, 0.0, -0.19)
@@ -244,6 +246,24 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
         wz = -syj * nlx + cyj * wz1
         return t, wx, wy, wz
 
+    def prim_rotbox(cx0, cy0, cz0, byaw, hx, hy, hz):
+        cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
+        ox, oy, oz = ex - cx0, ey - cy0, ez - cz0
+        lx = cyj * ox - syj * oz
+        lz = syj * ox + cyj * oz
+        dlx = cyj * dx - syj * dz
+        dlz = syj * dx + cyj * dz
+        eps2 = 1e-12
+        rix = 1.0 / jnp.where(jnp.abs(dlx) < eps2, eps2, dlx)
+        riz = 1.0 / jnp.where(jnp.abs(dlz) < eps2, eps2, dlz)
+        t, nlx, nly, nlz = aabb(
+            -hx, -hy, -hz, hx, hy, hz,
+            lx, oy, lz, dlx, dy, dlz, rix, iy, riz,
+        )
+        wx = cyj * nlx + syj * nlz
+        wz = -syj * nlx + cyj * nlz
+        return t, wx, nly, wz
+
     # ---- primitive loop ----
     def body(i, carry):
         bt, bnx, bny, bnz, br, bg, bb = carry
@@ -254,9 +274,12 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
         b0 = prims_ref[0, i, 4]
         b1 = prims_ref[0, i, 5]
         b2 = prims_ref[0, i, 6]
+        c0_ = prims_ref[0, i, 10]
+        c1_ = prims_ref[0, i, 11]
+        c2_ = prims_ref[0, i, 12]
 
         t, nx, ny, nz = jax.lax.switch(
-            jnp.clip(ptype, 0, 5),
+            jnp.clip(ptype, 0, 6),
             [
                 lambda: prim_aabb(a0, a1, a2, b0, b1, b2),
                 lambda: prim_ellipsoid(a0, a1, a2, b0, b1, b2),
@@ -264,6 +287,7 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
                 lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(1.0)),
                 lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(-1.0)),
                 lambda: prim_eyebox(a0, a1, a2, b0, b1),
+                lambda: prim_rotbox(a0, a1, a2, b0, c0_, c1_, c2_),
             ],
         )
         t = jnp.where(ptype >= 0, t, INF)
@@ -380,21 +404,27 @@ def build_prim_table(
          (pt == C.PROP_SPHERE) | (pt == C.PROP_CAPSULE),
          pt == C.PROP_CYLINDER,
          (pt == C.PROP_CONE) & ~flipped,
-         (pt == C.PROP_CONE) & flipped],
-        [PRIM_AABB, PRIM_ELLIPSOID, PRIM_CYLINDER, PRIM_CONE, PRIM_CONE_FLIPPED],
+         (pt == C.PROP_CONE) & flipped,
+         pt == C.PROP_ROTBOX],
+        [PRIM_AABB, PRIM_ELLIPSOID, PRIM_CYLINDER, PRIM_CONE, PRIM_CONE_FLIPPED,
+         PRIM_ROTBOX],
         -1,
     )
     ktype = jnp.where(visible, ktype, -1).astype(jnp.float32)
 
     is_box = (pt == C.PROP_BOX)[:, None]
+    is_rot = (pt == C.PROP_ROTBOX)[:, None]
     a_vec = jnp.where(is_box, props.pos - sc, props.pos)
     radii = sc.at[:, 1].set(jnp.where(pt == C.PROP_CAPSULE, 2.0 * sc[:, 1], sc[:, 1]))
     quad_b = jnp.stack([sc[:, 0], sc[:, 2], 0.5 * sc[:, 1]], axis=1)
+    rot_b = jnp.stack([props.yaw, jnp.zeros((p,)), jnp.zeros((p,))], axis=1)
     is_ell = ((pt == C.PROP_SPHERE) | (pt == C.PROP_CAPSULE))[:, None]
-    b_vec = jnp.where(is_box, props.pos + sc, jnp.where(is_ell, radii, quad_b))
+    b_vec = jnp.where(is_box, props.pos + sc,
+                      jnp.where(is_rot, rot_b, jnp.where(is_ell, radii, quad_b)))
+    c_vec = jnp.where(is_rot, sc, jnp.zeros_like(sc))
     rows_prop = jnp.concatenate(
-        [ktype[:, None], a_vec, b_vec, palette[props.color],
-         jnp.zeros((p, 6), jnp.float32)], axis=1)
+        [ktype[:, None], a_vec, b_vec, palette[props.color], c_vec,
+         jnp.zeros((p, 3), jnp.float32)], axis=1)
 
     # Agent bodies + eye boxes.
     num_agents = agents.pos.shape[0]

@@ -41,8 +41,13 @@ def _ensure_builtin() -> None:
         return
     _BUILTIN_LOADED = True
     from megaverse_tpu.scenarios import (  # noqa: F401
+        box_a_gone,
         collect,
         empty,
+        football,
+        hex,
         obstacles,
+        rearrange,
+        sokoban,
         tower_building,
     )

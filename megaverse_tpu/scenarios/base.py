@@ -56,6 +56,7 @@ class HostScene:
         self.props_type: List[int] = []
         self.props_pos: List[np.ndarray] = []
         self.props_scale: List[np.ndarray] = []
+        self.props_yaw: List[float] = []
         self.props_color: List[int] = []
         self.props_flags: List[int] = []
         self.agent_spawn = np.zeros((cfg.num_agents, 3), np.float32)
@@ -117,7 +118,7 @@ class HostScene:
 
     # -- props --------------------------------------------------------------
     def add_prop(self, ptype: int, pos, scale, color: int,
-                 solid: bool = False, movable: bool = False) -> int:
+                 solid: bool = False, movable: bool = False, yaw: float = 0.0) -> int:
         flags = PROP_FLAG_VISIBLE
         if solid:
             flags |= PROP_FLAG_SOLID
@@ -126,6 +127,7 @@ class HostScene:
         self.props_type.append(ptype)
         self.props_pos.append(np.asarray(pos, np.float32))
         self.props_scale.append(np.asarray(scale, np.float32))
+        self.props_yaw.append(float(yaw))
         self.props_color.append(color)
         self.props_flags.append(flags)
         return len(self.props_type) - 1
@@ -182,12 +184,14 @@ class HostScene:
         prop_type = np.full((p,), C.PROP_NONE, np.int8)
         prop_pos = np.zeros((p, 3), np.float32)
         prop_scale = np.zeros((p, 3), np.float32)
+        prop_yaw = np.zeros((p,), np.float32)
         prop_color = np.zeros((p,), np.uint8)
         prop_flags = np.zeros((p,), np.uint8)
         if n:
             prop_type[:n] = self.props_type
             prop_pos[:n] = self.props_pos
             prop_scale[:n] = self.props_scale
+            prop_yaw[:n] = self.props_yaw
             prop_color[:n] = self.props_color
             prop_flags[:n] = self.props_flags
 
@@ -200,7 +204,7 @@ class HostScene:
             box_hi=box_hi,
             box_color=box_color,
             props=PropState(
-                type=prop_type, pos=prop_pos, scale=prop_scale,
+                type=prop_type, pos=prop_pos, scale=prop_scale, yaw=prop_yaw,
                 color=prop_color, flags=prop_flags,
             ),
             agent_spawn=self.agent_spawn,

@@ -1,0 +1,243 @@
+"""BoxAGone scenario: disappearing-platform last-man-standing.
+
+ref: scenarios/src/scenario_box_a_gone.cpp + scenario_box_a_gone.hpp.
+A 24x24 walled arena (voxel size 2) with 2-3 levels of thin tiles; stepping
+onto a new tile arms it: it swaps to a green "temporary" platform that
+inflates and vanishes after 15 ticks (step, cpp:97-177); leaving a tile
+accelerates its timer to 3 ticks. Per-step reward while off the floor;
+touching the floor penalizes. Each agent is its own team (hpp:92).
+Episode 300 s, vertical look limit 0.75 (hpp:74-79).
+
+Deviation: tiles sit flush with their voxel TOP here (collision is the full
+voxel), where the reference floats them mid-voxel on thin Bullet boxes — same
+mechanics, tiles drawn ~1 m higher.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.ops import grid as G
+from megaverse_tpu.scenarios import register_scenario
+from megaverse_tpu.scenarios.base import HostScene, Scenario
+from megaverse_tpu.types import EnvState, GridConfig, SceneData, PROP_FLAG_VISIBLE
+
+K_FLOOR = "boxagoneTouchedFloor"
+K_STEP = "boxagonePerStepReward"
+
+VOXEL = 2.0
+SIZE = 24
+T_MAX = 3 * 18 * 18  # 3 levels x up to 18x18 tiles
+_TILE_COLORS = ("ORANGE", "BLUE", "VIOLET")
+
+
+class BoxAGoneState(struct.PyTreeNode):
+    tile_voxel: jax.Array      # i32 [T, 3]
+    tile_prop: jax.Array       # i32 [T]
+    tile_active: jax.Array     # bool [T] (still standing)
+    tile_ticks: jax.Array      # i32 [T] remaining ticks; -1 = not armed
+    last_tile: jax.Array       # i32 [A] tile index agent stands on (-1 none)
+    seconds_off_floor: jax.Array  # f32 [A] secondsBeforeTouchedFloor
+    finished: jax.Array        # bool
+
+
+class BoxAGoneScenario(Scenario):
+    name = "BoxAGone"
+    max_boxes = 16
+    max_props = T_MAX
+    shaping_keys = (K_FLOOR, K_STEP)
+
+    def default_params(self) -> Dict[str, float]:
+        p = super().default_params()
+        p[C.P_EPISODE_LENGTH_SEC] = 300.0
+        p[C.P_VERTICAL_LOOK_LIMIT] = 0.75
+        return p
+
+    def _reward_shaping(self) -> Dict[str, float]:
+        return {K_FLOOR: -0.1, K_STEP: 0.01}
+
+    def team_affinity(self) -> np.ndarray:
+        return np.arange(self.num_agents, dtype=np.int32)
+
+    def grid_config(self) -> GridConfig:
+        return GridConfig(dims=(SIZE, 14, SIZE), voxel_size=VOXEL, origin=(0.0, 0.0, 0.0))
+
+    # ------------------------------------------------------------- generate
+    def generate(self, rng: np.random.Generator) -> SceneData:
+        scene = HostScene(self.cfg)
+        rr = lambda lo, hi: int(rng.integers(lo, hi))
+        white = C.COLOR_IDX["WHITE"]
+
+        # floor + walls (height 8 voxels)
+        scene.vtype[0:SIZE, 0, 0:SIZE] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
+        scene.vcolor[0:SIZE, 0, 0:SIZE] = white
+        for (xs, zs) in ((np.s_[0:1], np.s_[0:SIZE]), (np.s_[SIZE - 1:SIZE], np.s_[0:SIZE]),
+                         (np.s_[0:SIZE], np.s_[0:1]), (np.s_[0:SIZE], np.s_[SIZE - 1:SIZE])):
+            scene.vtype[xs, 0:8, zs] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
+            scene.vcolor[xs, 0:8, zs] = white
+
+        num_levels = rr(2, 4)
+        tile_voxel = np.zeros((T_MAX, 3), np.int32)
+        tile_prop = np.zeros((T_MAX,), np.int32)
+        tile_active = np.zeros((T_MAX,), bool)
+        spawn_cells = []
+        ti = 0
+        obj_size = 0.42 * VOXEL
+        thickness = obj_size * 0.045
+
+        level_h = 1
+        for level in range(num_levels):
+            color = C.COLOR_IDX[_TILE_COLORS[level % 3]]
+            level_h += rr(2, 4)
+            offset = SIZE // 2
+            ll = rr(10, 19)
+            lw = rr(10, 19)
+            sx, sz = offset - ll // 2, offset - lw // 2
+            skip_p = rng.random() * 0.2
+            for x in range(sx, sx + ll):
+                for z in range(sz, sz + lw):
+                    if rng.random() < skip_p:
+                        continue
+                    if ti >= T_MAX:
+                        continue
+                    # tile drawn flush with the voxel top (see deviation note)
+                    center = np.array([
+                        (x + 0.5) * VOXEL, (level_h + 1) * VOXEL - thickness, (z + 0.5) * VOXEL])
+                    idx = scene.add_prop(C.PROP_BOX, center,
+                                         (obj_size, thickness, obj_size), color)
+                    scene.vtype[x, level_h, z] |= C.VOXEL_SOLID
+                    tile_voxel[ti] = [x, level_h, z]
+                    tile_prop[ti] = idx
+                    tile_active[ti] = True
+                    ti += 1
+                    if level == num_levels - 1:
+                        spawn_cells.append(np.array([x, level_h, z]))
+
+        if not spawn_cells:
+            spawn_cells = [np.array([SIZE // 2, 1, SIZE // 2])]
+        order = rng.permutation(len(spawn_cells))
+        a = self.num_agents
+        spawns = [spawn_cells[order[i % len(order)]] for i in range(a)]
+        # ref spawn: voxel centers * voxelSize... the spawn positions are world
+        # coords ((v + .5) * vs); spawn_agents_at adds (.5,0,.5) + agentHeight.
+        world = [(np.asarray(s, float) + 0.5) * VOXEL - np.array([0.5, 0, 0.5])
+                 for s in spawns]
+        # agents spawn standing on top of the tile voxel
+        for i, w in enumerate(world):
+            scene.agent_spawn[i] = [w[0] + 0.5, (spawns[i][1] + 1) * VOXEL + C.AGENT_HALF_HEIGHT + 0.05,
+                                    w[2] + 0.5]
+            scene.agent_yaw[i] = rng.random() * 2 * np.pi
+
+        scen = BoxAGoneState(
+            tile_voxel=tile_voxel,
+            tile_prop=tile_prop,
+            tile_active=tile_active,
+            tile_ticks=np.full((T_MAX,), -1, np.int32),
+            last_tile=np.full((a,), -1, np.int32),
+            seconds_off_floor=np.zeros((a,), np.float32),
+            finished=np.asarray(False),
+        )
+        return scene.finish(self.max_boxes, scen=scen)
+
+    # ------------------------------------------------------------- step
+    def scen_step(self, state: EnvState, action: jax.Array, shaping: jax.Array):
+        num_agents = self.num_agents
+        cfg = self.cfg.grid
+        rewards = jnp.zeros((num_agents,), jnp.float32)
+        sc: BoxAGoneState = state.scen
+
+        t = state.agents.pos + jnp.asarray([0.0, C.AGENT_BODY_OFFSET_Y, 0.0])
+        coords = G.world_to_voxel(cfg, t)
+        touches_floor = coords[:, 1] < 3
+
+        rewards = self.reward_team(rewards, shaping, K_FLOOR,
+                                   touches_floor.astype(jnp.float32), 1.0)
+        rewards = self.reward_team(rewards, shaping, K_STEP,
+                                   (~touches_floor).astype(jnp.float32), 1.0)
+        seconds = jnp.where(~touches_floor, state.episode_sec, sc.seconds_off_floor)
+
+        # which tile is each agent standing on? Agents stand ON the voxel top,
+        # so the tile voxel is one below the agent's voxel.
+        below = coords - jnp.asarray([0, 1, 0])
+        on_tile = jnp.all(sc.tile_voxel[:, None, :] == below[None, :, :], axis=-1)  # [T, A]
+        on_tile = on_tile & sc.tile_active[:, None] & state.agents.on_ground[None, :]
+        agent_tile = jnp.where(jnp.any(on_tile, axis=0),
+                               jnp.argmax(on_tile.astype(jnp.int32), axis=0), -1)  # [A]
+
+        changed = (agent_tile >= 0) & (agent_tile != sc.last_tile)
+        # previous tile's timer -> min(current, 3) (cpp:120-125)
+        prev = jnp.where(changed, sc.last_tile, -1)
+        prev_valid = prev >= 0
+        prev_idx = jnp.maximum(prev, 0)
+        ticks = sc.tile_ticks
+        armed_prev = ticks[prev_idx] >= 0
+        new_prev_ticks = jnp.where(
+            prev_valid & armed_prev, jnp.minimum(ticks[prev_idx], 3), ticks[prev_idx])
+        ticks = ticks.at[prev_idx].set(new_prev_ticks)
+
+        # arm the new tile with 15 ticks if not armed (cpp:127-141)
+        cur_idx = jnp.maximum(agent_tile, 0)
+        arm = changed & (ticks[cur_idx] < 0)
+        ticks = ticks.at[cur_idx].set(jnp.where(arm, 15, ticks[cur_idx]))
+        # visual: armed tile turns green and inflates 1.05x
+        props = state.props
+        colors = props.color.at[sc.tile_prop[cur_idx]].set(
+            jnp.where(arm, jnp.uint8(C.COLOR_IDX["GREEN"]), props.color[sc.tile_prop[cur_idx]]))
+        scales = props.scale.at[sc.tile_prop[cur_idx]].set(
+            jnp.where(arm[:, None], props.scale[sc.tile_prop[cur_idx]] * 1.05,
+                      props.scale[sc.tile_prop[cur_idx]]))
+        props = props.replace(color=colors, scale=scales)
+
+        last_tile = jnp.where(changed, agent_tile, sc.last_tile)
+
+        # tick down armed tiles (cpp:152-173)
+        armed = ticks > 0
+        ticks = jnp.where(armed, ticks - 1, ticks)
+        expiring = armed & (ticks == 0)
+        inflating = armed & (ticks > 0) & (ticks <= 5)
+        scales2 = jnp.where(inflating[:, None], props.scale[sc.tile_prop] * 1.03,
+                            props.scale[sc.tile_prop])
+        props = props.replace(scale=props.scale.at[sc.tile_prop].set(scales2))
+
+        # expiry: hide prop, clear voxel solidity
+        vis_mask = ~jnp.uint8(PROP_FLAG_VISIBLE)
+        flags = props.flags.at[sc.tile_prop].set(
+            jnp.where(expiring, props.flags[sc.tile_prop] & vis_mask,
+                      props.flags[sc.tile_prop]))
+        props = props.replace(flags=flags)
+        vt = G.gather_voxel(cfg, state.vtype, sc.tile_voxel)
+        vtype = G.set_voxel(cfg, state.vtype, sc.tile_voxel,
+                            jnp.where(expiring, vt & ~jnp.uint8(C.VOXEL_SOLID), vt))
+        tile_active = sc.tile_active & ~expiring
+
+        all_on_floor = jnp.all(touches_floor)
+        finish_now = all_on_floor & ~sc.finished
+        episode_sec = jnp.where(
+            finish_now,
+            jnp.maximum(state.episode_sec, state.episode_len_sec - 0.3),
+            state.episode_sec)
+
+        sc = sc.replace(
+            tile_ticks=ticks, tile_active=tile_active, last_tile=last_tile,
+            seconds_off_floor=seconds, finished=sc.finished | finish_now)
+
+        # trueObjective (hpp:56-71): winner-take-all if multi-agent
+        if num_agents > 1:
+            best = jnp.argmax(sc.seconds_off_floor)
+            tobj = (jnp.arange(num_agents) == best).astype(jnp.float32)
+        else:
+            tobj = sc.seconds_off_floor / state.episode_len_sec
+
+        state = state.replace(
+            vtype=vtype, props=props, scen=sc, episode_sec=episode_sec,
+            true_objective=tobj)
+        return state, rewards
+
+
+register_scenario("BoxAGone", BoxAGoneScenario)

@@ -1,0 +1,141 @@
+"""Football scenario (experimental in the reference; no rewards).
+
+ref: scenarios/src/scenario_football.cpp. A walled room (14-24 x 12-24) with a
+dynamic ball (Bullet sphere, r=2 scaled 0.5 -> world radius 1, mass 1); agents
+kick it with Interact within 1.8 m, applying a 70 N force with an upward bias
+(step, cpp:143-164).
+
+The ball here is a ballistic sphere integrated analytically (gravity, floor
+bounce with restitution, rolling friction) against the voxel grid — a
+simplified stand-in for the reference's full Bullet rigid-body dynamics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.ops import grid as G
+from megaverse_tpu.scenarios import register_scenario
+from megaverse_tpu.scenarios.base import HostScene, Scenario
+from megaverse_tpu.types import EnvState, GridConfig, SceneData
+
+BALL_RADIUS = 1.0  # btSphereShape(2.0) scaled 0.5
+GRAVITY = 9.8
+RESTITUTION = 0.6
+ROLL_FRICTION = 0.8  # 1/s exponential decay when rolling
+
+
+class FootballState(struct.PyTreeNode):
+    ball_pos: jax.Array   # f32 [3]
+    ball_vel: jax.Array   # f32 [3]
+    ball_prop: jax.Array  # i32
+
+
+class FootballScenario(Scenario):
+    name = "Football"
+    max_boxes = 16
+    max_props = 1
+
+    def grid_config(self) -> GridConfig:
+        return GridConfig(dims=(24, 10, 24), voxel_size=1.0, origin=(0.0, 0.0, 0.0))
+
+    def _reward_shaping(self) -> Dict[str, float]:
+        return {}
+
+    def generate(self, rng: np.random.Generator) -> SceneData:
+        scene = HostScene(self.cfg)
+        rr = lambda lo, hi: int(rng.integers(lo, hi))
+        length = rr(14, 24)
+        width = rr(12, 24)
+        height = rr(3, 7)
+        white = C.COLOR_IDX["WHITE"]
+
+        scene.vtype[0:length, 0, 0:width] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
+        scene.vcolor[0:length, 0, 0:width] = white
+        for (xs, zs) in ((np.s_[0:1], np.s_[0:width]), (np.s_[length - 1:length], np.s_[0:width]),
+                         (np.s_[0:length], np.s_[0:1]), (np.s_[0:length], np.s_[width - 1:width])):
+            scene.vtype[xs, 0:height, zs] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
+            scene.vcolor[xs, 0:height, zs] = white
+
+        ball_pos = np.array([5.0, 5.0, 5.0], np.float32)
+        prop = scene.add_prop(C.PROP_SPHERE, ball_pos, (0.5, 0.5, 0.5),
+                              C.COLOR_IDX["ORANGE"])
+
+        # agent spawns via occupancy sampling (Platform::agentSpawnPoints)
+        used = set()
+        positions = []
+        occupancy = {}
+        for _ in range(self.num_agents):
+            for _att in range(10):
+                x = rr(1, length - 1)
+                z = rr(1, width - 1)
+                if (x, z) in used:
+                    continue
+                y = occupancy.get((x, z), 0) + 1
+                occupancy[(x, z)] = occupancy.get((x, z), 0) + 2
+                positions.append([x, y, z])
+                used.add((x, z))
+                break
+        while len(positions) < self.num_agents:
+            positions.append(positions[0])
+        scene.spawn_agents_at(np.asarray(positions, np.float64), rng)
+
+        scen = FootballState(
+            ball_pos=ball_pos,
+            ball_vel=np.zeros(3, np.float32),
+            ball_prop=np.int32(prop),
+        )
+        return scene.finish(self.max_boxes, scen=scen)
+
+    def scen_step(self, state: EnvState, action: jax.Array, shaping: jax.Array):
+        num_agents = self.num_agents
+        cfg = self.cfg.grid
+        dt = self.cfg.dt
+        sc: FootballState = state.scen
+
+        # kicks (cpp:143-164): force 70 N for one tick on a 1 kg ball
+        t = state.agents.pos + jnp.asarray([0.0, C.AGENT_BODY_OFFSET_Y, 0.0])
+        delta = sc.ball_pos[None, :] - t
+        dist = jnp.linalg.norm(delta, axis=-1)
+        kick = ((action & C.ACTION_INTERACT) != 0) & (dist < 1.8)
+        dir_ = delta / jnp.maximum(dist[:, None], 1e-6)
+        dir_ = dir_.at[:, 1].set(0.5)
+        impulse = jnp.sum(jnp.where(kick[:, None], 70.0 * dir_ * dt, 0.0), axis=0)
+        vel = sc.ball_vel + impulse
+
+        # ballistic integration + voxel collisions
+        vel = vel - jnp.asarray([0.0, GRAVITY * dt, 0.0])
+        pos = sc.ball_pos + vel * dt
+
+        # floor/wall response: probe the voxel below and around the ball
+        below = G.world_to_voxel(cfg, pos - jnp.asarray([0.0, BALL_RADIUS + 1e-3, 0.0]))
+        floor_hit = G.solid_at(cfg, state.vtype, below[None, :])[0] & (vel[1] < 0)
+        floor_top = (below[1] + 1).astype(jnp.float32) * cfg.voxel_size + cfg.origin[1]
+        pos = pos.at[1].set(jnp.where(floor_hit, floor_top + BALL_RADIUS, pos[1]))
+        bounce_v = -vel[1] * RESTITUTION
+        vel = vel.at[1].set(jnp.where(floor_hit, jnp.where(jnp.abs(bounce_v) < 0.5, 0.0, bounce_v), vel[1]))
+        rolling = floor_hit & (jnp.abs(vel[1]) < 1e-3)
+        decay = jnp.exp(-ROLL_FRICTION * dt)
+        vel = jnp.where(rolling, vel * jnp.asarray([decay, 1.0, decay]), vel)
+
+        for axis in (0, 2):
+            side = jnp.zeros(3).at[axis].set(jnp.sign(vel[axis]) * (BALL_RADIUS + 1e-3))
+            probe = G.world_to_voxel(cfg, pos + side)
+            hit = G.solid_at(cfg, state.vtype, probe[None, :])[0]
+            vel = vel.at[axis].set(jnp.where(hit, -vel[axis] * RESTITUTION, vel[axis]))
+            pos = pos.at[axis].set(jnp.where(hit, sc.ball_pos[axis], pos[axis]))
+
+        props = state.props.replace(pos=state.props.pos.at[sc.ball_prop].set(pos))
+        sc = sc.replace(ball_pos=pos, ball_vel=vel)
+        state = state.replace(props=props, scen=sc,
+                              true_objective=jnp.zeros((num_agents,), jnp.float32))
+        return state, jnp.zeros((num_agents,), jnp.float32)
+
+
+register_scenario("Football", FootballScenario)

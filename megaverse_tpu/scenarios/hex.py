@@ -1,0 +1,409 @@
+"""HexExplore and HexMemory scenarios (honeycomb mazes).
+
+ref: scenarios/src/scenario_hex_explore.cpp (find the violet diamond;
+spawn maximizing distance to it) and scenario_hex_memory.cpp (landmark object
+shows the "good" shape/color; collect good objects, avoid bad ones), both on
+the HexagonalMazeComponent maze (component_hexagonal_maze.cpp:19-128: Kruskal
+honeycomb, scale 3.5, random wall height 0.85-1.4, random wall-omission
+probability, landmark decorations, colored edging).
+
+Maze walls are y-rotated thin boxes: rendered as PROP_ROTBOX primitives and
+voxelized (conservatively, by sampling along the segment) into the collision
+grid — the reference uses exact Bullet boxes, so wall collision here is
+about one voxel coarse.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.scenarios import register_scenario
+from megaverse_tpu.scenarios.base import HostScene, Scenario
+from megaverse_tpu.types import EnvState, GridConfig, SceneData, PROP_FLAG_VISIBLE
+from megaverse_tpu.utils.hexmaze import HoneycombMaze, maze_walls
+
+K_EXPLORE = "exploreSolved"
+K_MEM_GOOD = "memoryCollectGood"
+K_MEM_BAD = "memoryCollectBad"
+
+MAZE_SCALE = 3.5
+GRID_SIDE = 104  # covers size-8 maze: xmax = 3.5*sqrt(3)*7.5 ~ 45.5
+GRID_ORIGIN = (-52.0, -1.0, -52.0)
+
+SHAPE_PILLAR, SHAPE_DIAMOND, SHAPE_SPHERE = 0, 1, 2
+_SHAPE_SCALE = {
+    SHAPE_SPHERE: np.array([0.75, 0.75, 0.75]),
+    SHAPE_PILLAR: np.array([0.5, 2.0, 0.5]),
+    SHAPE_DIAMOND: np.array([0.17, 0.45, 0.17]) * 2.2,
+}
+_SHAPE_SHIFT = {
+    SHAPE_SPHERE: np.array([0.5, 0.1, 0.5]),
+    SHAPE_PILLAR: np.array([0.5, 0.05, 0.5]),
+    SHAPE_DIAMOND: np.array([0.5, 0.6, 0.5]),
+}
+
+
+def add_shape(scene: HostScene, shape: int, color: int, loc, scale) -> int:
+    """addObject (scenario_hex_memory.cpp:173-184): returns first prop idx."""
+    loc = np.asarray(loc, np.float64)
+    scale = np.asarray(scale, np.float64)
+    if shape == SHAPE_SPHERE:
+        return scene.add_prop(C.PROP_SPHERE, loc, scale, color)
+    if shape == SHAPE_DIAMOND:
+        top = scene.add_prop(C.PROP_CONE, loc, scale, color)
+        scene.add_prop(C.PROP_CONE, loc - np.array([0, scale[1], 0]),
+                       scale * np.array([1, -1, 1]), color)
+        return top
+    # pillar: cylinder + two caps (layout_utils.cpp addPillar)
+    top = scene.add_prop(C.PROP_CYLINDER, loc, scale, color)
+    cap_scale = np.array([scale[0] * 1.2, 0.15, scale[2] * 1.2])
+    cap_t = np.array([0, 0.47, 0]) * scale
+    scene.add_prop(C.PROP_CYLINDER, loc + cap_t, cap_scale, color)
+    scene.add_prop(C.PROP_CYLINDER, loc - cap_t, cap_scale, color)
+    return top
+
+
+def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
+               max_size: int, omit_min: float, omit_max: float,
+               prop_budget: int):
+    """Generate the maze into the scene; returns (maze, size).
+
+    Mirrors HexagonalMazeComponent::reset + addDrawablesAndCollisions.
+    """
+    size = int(rng.integers(min_size, max_size))
+    maze = HoneycombMaze(size, rng)
+    wall_height = rng.random() * 0.55 + 0.85
+    omit_p = rng.random() * (omit_max - omit_min) + omit_min
+    landmark_p = rng.random() * 0.15 + 0.15
+    bottom_edging_color = int(C.ALL_COLORS[rng.integers(0, len(C.ALL_COLORS))])
+    _top_edging_color = int(C.ALL_COLORS[rng.integers(0, len(C.ALL_COLORS))])
+
+    xmin, ymin, xmax, ymax = (b * MAZE_SCALE for b in maze.bounds())
+
+    # floor (thin colliding box, component_hexagonal_maze.cpp:47-50)
+    floor_color = int(C.LAYOUT_COLORS[rng.integers(0, len(C.LAYOUT_COLORS))])
+    scene.extra_boxes.append((
+        np.array([xmin, -0.05, ymin], np.float32),
+        np.array([xmax, 0.0, ymax], np.float32), floor_color))
+    imin = scene.world_to_voxel([xmin, -0.9, ymin])
+    imax = scene.world_to_voxel([xmax, -0.1, ymax])
+    scene.fill_box_voxels(imin, imax, C.VOXEL_SOLID, color=0)
+
+    walls = maze_walls(maze, rng, omit_p)
+    g = scene.cfg.grid
+    wall_rows = int(np.ceil(2 * wall_height))
+    for (x1, z1, x2, z2) in walls:
+        x1, z1, x2, z2 = (c * MAZE_SCALE for c in (x1, z1, x2, z2))
+        seg = np.hypot(x1 - x2, z1 - z2)
+        half_len = 0.5 * seg
+        cx, cz = (x1 + x2) / 2, (z1 + z2) / 2
+        dx_, dz_ = x1 - x2, z1 - z2
+        rot_y = np.pi / 2 if abs(dx_) < 1e-6 else -np.arctan(dz_ / dx_)
+
+        # landmarks (decorative tabs, component_hexagonal_maze.cpp:96-108)
+        if rng.random() < landmark_p and len(scene.props_type) < prop_budget - 8:
+            lw = 0.15
+            lh = lw * half_len / wall_height
+            n_land = int(rng.integers(2, 5))
+            wall_scale = np.array([half_len, wall_height, 0.15])
+            for li in range(n_land):
+                l_scale = np.array([lw, lh, rng.random() * 1.2 + 1.5])
+                l_t = np.array([(1.0 if li % 2 == 1 else 0.0) * lw * 2,
+                                (1.0 if li > 1 else 0.0) * lh * 2 - 0.2, 0.0])
+                world_scale = wall_scale * l_scale
+                local = wall_scale * l_t
+                rc, rs = np.cos(rot_y), np.sin(rot_y)
+                wx = cx + rc * local[0] + rs * local[2]
+                wz = cz - rs * local[0] + rc * local[2]
+                color = int(C.ALL_COLORS[rng.integers(0, len(C.ALL_COLORS))])
+                scene.add_prop(C.PROP_ROTBOX, (wx, wall_height + local[1], wz),
+                               world_scale, color, yaw=rot_y)
+
+        if len(scene.props_type) < prop_budget - 2:
+            scene.add_prop(C.PROP_ROTBOX, (cx, wall_height, cz),
+                           (half_len, wall_height, 0.15),
+                           C.COLOR_IDX["DARK_BLUE"], yaw=rot_y)
+            # bottom edging
+            e_scale = np.array([half_len * 1.02, wall_height * 0.12, 0.2])
+            scene.add_prop(C.PROP_ROTBOX, (cx, e_scale[1], cz), e_scale,
+                           bottom_edging_color, yaw=rot_y)
+
+        # voxelize the wall for collision (sample along the segment)
+        n_samples = max(int(seg / (g.voxel_size * 0.4)) + 1, 2)
+        ts = np.linspace(0.0, 1.0, n_samples)
+        sx = x1 + (x2 - x1) * ts
+        sz = z1 + (z2 - z1) * ts
+        ix = np.floor((sx - g.origin[0]) / g.voxel_size).astype(np.int64)
+        iz = np.floor((sz - g.origin[2]) / g.voxel_size).astype(np.int64)
+        iy0 = int(np.floor((0.0 - g.origin[1]) / g.voxel_size))
+        for xx, zz in zip(ix, iz):
+            if 0 <= xx < g.dims[0] and 0 <= zz < g.dims[2]:
+                scene.vtype[xx, iy0:iy0 + wall_rows, zz] |= C.VOXEL_SOLID
+
+    return maze, size
+
+
+# ---------------------------------------------------------------------------
+# HexExplore
+# ---------------------------------------------------------------------------
+
+class HexExploreState(struct.PyTreeNode):
+    reward_pos: jax.Array   # f32 [3] world
+    reward_prop: jax.Array  # i32 (top cone of the diamond)
+    solved: jax.Array       # bool
+
+
+class HexExploreScenario(Scenario):
+    name = "HexExplore"
+    max_boxes = 8
+    max_props = 1100
+    shaping_keys = (K_EXPLORE,)
+
+    def grid_config(self) -> GridConfig:
+        return GridConfig(dims=(GRID_SIDE, 6, GRID_SIDE), voxel_size=1.0,
+                          origin=GRID_ORIGIN)
+
+    def _reward_shaping(self) -> Dict[str, float]:
+        return {K_EXPLORE: 5.0}
+
+    def generate(self, rng: np.random.Generator) -> SceneData:
+        scene = HostScene(self.cfg)
+        maze, size = build_maze(scene, rng, 2, 8, 0.1, 0.4, self.max_props - 4)
+
+        cell = int(rng.integers(0, len(maze.cells)))
+        cx, cz = maze.centers[cell] * MAZE_SCALE
+        reward_pos = np.array([cx, 0.0, cz], np.float32)
+
+        # violet diamond, scale 1.9 (scenario_hex_explore.cpp:103-107)
+        s = 1.9
+        top = add_shape(scene, SHAPE_DIAMOND, C.COLOR_IDX["VIOLET"],
+                        reward_pos + np.array([0, 1.2, 0]),
+                        np.array([0.17 * s, 0.35 * s, 0.17 * s]))
+
+        # spawn: farthest shuffled cell (scenario_hex_explore.cpp:60-99)
+        order = rng.permutation(len(maze.cells))
+        best, best_d = None, -1.0
+        for ci in order:
+            sx, sz = maze.centers[ci] * MAZE_SCALE
+            spawn = np.array([sx, 0.1, sz])
+            d = np.linalg.norm(reward_pos - spawn)
+            if d > best_d:
+                best, best_d = spawn, d
+            if d > size * MAZE_SCALE:
+                break
+        rot = 2 * np.pi / self.num_agents
+        positions = [best + np.array([np.sin(i * rot), 0, np.cos(i * rot)])
+                     for i in range(self.num_agents)]
+        scene.spawn_agents_at(np.asarray(positions), rng)
+
+        scen = HexExploreState(
+            reward_pos=reward_pos,
+            reward_prop=np.int32(top),
+            solved=np.asarray(False),
+        )
+        return scene.finish(self.max_boxes, scen=scen)
+
+    def scen_step(self, state: EnvState, action: jax.Array, shaping: jax.Array):
+        num_agents = self.num_agents
+        rewards = jnp.zeros((num_agents,), jnp.float32)
+        sc: HexExploreState = state.scen
+
+        t = state.agents.pos + jnp.asarray([0.0, C.AGENT_BODY_OFFSET_Y, 0.0])
+        dist = jnp.linalg.norm(t - sc.reward_pos[None, :], axis=-1)
+        near = dist < 1.2
+        solve_now = jnp.any(near) & ~sc.solved
+        solver = (near & (jnp.cumsum(near) == 1)).astype(jnp.float32) * solve_now
+        rewards = self.reward_team(rewards, shaping, K_EXPLORE, solver, 1.0)
+
+        flags = state.props.flags
+        vis_mask = ~jnp.uint8(PROP_FLAG_VISIBLE)
+        for off in (0, 1):
+            idx = sc.reward_prop + off
+            flags = flags.at[idx].set(
+                jnp.where(solve_now, flags[idx] & vis_mask, flags[idx]))
+        episode_sec = jnp.where(
+            solve_now,
+            jnp.maximum(state.episode_sec, state.episode_len_sec - 0.3),
+            state.episode_sec)
+        solved = sc.solved | solve_now
+        state = state.replace(
+            props=state.props.replace(flags=flags),
+            scen=sc.replace(solved=solved),
+            episode_sec=episode_sec,
+            true_objective=jnp.full((num_agents,), solved.astype(jnp.float32)),
+        )
+        return state, rewards
+
+
+# ---------------------------------------------------------------------------
+# HexMemory
+# ---------------------------------------------------------------------------
+
+MEM_MAX_OBJECTS = 160  # ceil(0.45 * 168) good + same bad
+
+
+class HexMemoryState(struct.PyTreeNode):
+    obj_pos: jax.Array      # f32 [K, 3]
+    obj_good: jax.Array     # bool [K]
+    obj_active: jax.Array   # bool [K]
+    obj_prop: jax.Array     # i32 [K] first prop index
+    obj_nprops: jax.Array   # i32 [K] how many props (1..3)
+    num_good: jax.Array     # i32
+    good_collected: jax.Array  # i32
+    solved: jax.Array       # bool
+
+
+class HexMemoryScenario(Scenario):
+    name = "HexMemory"
+    max_boxes = 8
+    max_props = 1100 + 3 * MEM_MAX_OBJECTS + 3
+    shaping_keys = (K_MEM_GOOD, K_MEM_BAD)
+
+    def grid_config(self) -> GridConfig:
+        return GridConfig(dims=(GRID_SIDE, 6, GRID_SIDE), voxel_size=1.0,
+                          origin=GRID_ORIGIN)
+
+    def _reward_shaping(self) -> Dict[str, float]:
+        return {K_MEM_GOOD: 1.0, K_MEM_BAD: -1.0}
+
+    def generate(self, rng: np.random.Generator) -> SceneData:
+        scene = HostScene(self.cfg)
+        maze, size = build_maze(scene, rng, 2, 8, 0.1, 0.95, 1100)
+
+        # center cell = landmark (scenario_hex_memory.cpp:40-53)
+        d2 = np.sum(maze.centers ** 2, axis=1)
+        center_idx = int(np.argmin(np.sqrt(d2)))
+        ccx, ccz = maze.centers[center_idx] * MAZE_SCALE
+        landmark = np.array([ccx, 1.0, ccz])
+
+        coords = []
+        for ci in range(len(maze.cells)):
+            if ci == center_idx:
+                continue
+            cx, cz = maze.centers[ci]
+            off = np.array([rng.random() - 0.5, 0.0, rng.random() - 0.5])
+            c = np.array([cx, 0.5, cz]) + off
+            coords.append(np.array([c[0] * MAZE_SCALE, c[1], c[2] * MAZE_SCALE]))
+        coords = np.asarray(coords) if coords else np.zeros((0, 3))
+        coords = coords[rng.permutation(len(coords))]
+
+        frac = rng.random() * 0.25 + 0.2
+        n_good = int(np.round(np.ceil(frac * len(coords))))
+        n_bad = n_good if len(coords) >= 2 * n_good else 0
+        good_coords = coords[:n_good]
+        bad_coords = coords[n_good:n_good + n_bad]
+
+        # shapes/colors (scenario_hex_memory.cpp:160-170)
+        shapes = [SHAPE_PILLAR, SHAPE_DIAMOND, SHAPE_SPHERE]
+        good_color = int(C.OBJECT_COLORS[rng.integers(0, len(C.OBJECT_COLORS))])
+        good_shape = shapes[rng.integers(0, 3)]
+        bad_color, bad_shape = good_color, good_shape
+        while bad_color == good_color and bad_shape == good_shape:
+            bad_color = int(C.OBJECT_COLORS[rng.integers(0, len(C.OBJECT_COLORS))])
+            bad_shape = shapes[rng.integers(0, 3)]
+
+        add_shape(scene, good_shape, good_color,
+                  landmark + _SHAPE_SHIFT[good_shape], _SHAPE_SCALE[good_shape])
+
+        k = MEM_MAX_OBJECTS
+        obj_pos = np.zeros((k, 3), np.float32)
+        obj_good = np.zeros((k,), bool)
+        obj_active = np.zeros((k,), bool)
+        obj_prop = np.zeros((k,), np.int32)
+        obj_nprops = np.zeros((k,), np.int32)
+        obj_scale = 0.6
+        i = 0
+        for group, is_good in ((good_coords, True), (bad_coords, False)):
+            shape = good_shape if is_good else bad_shape
+            color = good_color if is_good else bad_color
+            for coord in group:
+                if i >= k or len(scene.props_type) + 3 > self.max_props:
+                    break
+                loc = coord + _SHAPE_SHIFT[shape] * obj_scale
+                first = add_shape(scene, shape, color, loc, _SHAPE_SCALE[shape] * obj_scale)
+                obj_pos[i] = coord
+                obj_good[i] = is_good
+                obj_active[i] = True
+                obj_prop[i] = first
+                obj_nprops[i] = {SHAPE_SPHERE: 1, SHAPE_DIAMOND: 2, SHAPE_PILLAR: 3}[shape]
+                i += 1
+
+        # agents: deterministic ring spawn (scenario_hex_memory.cpp:127-157)
+        a = self.num_agents
+        rot = 2 * np.pi / a
+        for j in range(a):
+            p = 1.5 * np.array([np.sin(rot * j), 0.3, np.cos(rot * j)])
+            scene.agent_spawn[j] = p + np.array([0.5, C.AGENT_HEIGHT, 0.5])
+            scene.agent_yaw[j] = rot * j
+
+        n_good_actual = int(obj_good.sum())
+        scene.episode_len_sec = self.params[C.P_EPISODE_LENGTH_SEC] + 3.0 * n_good_actual
+
+        scen = HexMemoryState(
+            obj_pos=obj_pos, obj_good=obj_good, obj_active=obj_active,
+            obj_prop=obj_prop, obj_nprops=obj_nprops,
+            num_good=np.int32(n_good_actual),
+            good_collected=np.int32(0),
+            solved=np.asarray(False),
+        )
+        return scene.finish(self.max_boxes, scen=scen)
+
+    def scen_step(self, state: EnvState, action: jax.Array, shaping: jax.Array):
+        num_agents = self.num_agents
+        rewards = jnp.zeros((num_agents,), jnp.float32)
+        sc: HexMemoryState = state.scen
+
+        # solve check BEFORE collection (scenario_hex_memory.cpp:86-90)
+        solve_now = (sc.good_collected >= sc.num_good) & ~sc.solved
+        episode_sec = jnp.where(
+            solve_now,
+            jnp.maximum(state.episode_sec, state.episode_len_sec - 0.3),
+            state.episode_sec)
+        solved = sc.solved | solve_now
+
+        t = state.agents.pos + jnp.asarray([0.0, C.AGENT_BODY_OFFSET_Y, 0.0])
+        dist = jnp.linalg.norm(sc.obj_pos[:, None, :] - t[None, :, :], axis=-1)
+        near = (dist < 1.0) & sc.obj_active[:, None]  # [K, A]
+        collected = jnp.any(near, axis=1)
+        collector = jnp.argmax(near, axis=1)
+        agent_ar = jnp.arange(num_agents)
+        good_n = jnp.sum(
+            (collected & sc.obj_good)[:, None] & (collector[:, None] == agent_ar),
+            axis=0).astype(jnp.float32)
+        bad_n = jnp.sum(
+            (collected & ~sc.obj_good)[:, None] & (collector[:, None] == agent_ar),
+            axis=0).astype(jnp.float32)
+        rewards = self.reward_team(rewards, shaping, K_MEM_GOOD, good_n, 1.0)
+        rewards = self.reward_team(rewards, shaping, K_MEM_BAD, bad_n, 1.0)
+
+        # hide collected objects (up to 3 props each)
+        flags = state.props.flags
+        vis_mask = ~jnp.uint8(PROP_FLAG_VISIBLE)
+        for off in range(3):
+            idx = sc.obj_prop + off
+            hide = collected & (sc.obj_nprops > off)
+            flags = flags.at[idx].set(jnp.where(hide, flags[idx] & vis_mask, flags[idx]))
+
+        sc = sc.replace(
+            obj_active=sc.obj_active & ~collected,
+            good_collected=sc.good_collected
+            + jnp.sum(collected & sc.obj_good).astype(jnp.int32),
+            solved=solved,
+        )
+        state = state.replace(
+            props=state.props.replace(flags=flags),
+            scen=sc,
+            episode_sec=episode_sec,
+            true_objective=jnp.full((num_agents,), solved.astype(jnp.float32)),
+        )
+        return state, rewards
+
+
+register_scenario("HexExplore", HexExploreScenario)
+register_scenario("HexMemory", HexMemoryScenario)

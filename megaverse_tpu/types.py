@@ -81,6 +81,7 @@ class PropState(struct.PyTreeNode):
     type: jax.Array   # int8  [P]
     pos: jax.Array    # f32   [P,3] world-space center
     scale: jax.Array  # f32   [P,3]
+    yaw: jax.Array    # f32   [P] rotation about +Y (used by PROP_ROTBOX)
     color: jax.Array  # uint8 [P] palette index
     # bit0: solid (blocks agents), bit1: visible, bit2: interactable/movable
     flags: jax.Array  # uint8 [P]
@@ -92,6 +93,7 @@ class PropState(struct.PyTreeNode):
             type=jnp.full((p,), C.PROP_NONE, jnp.int8),
             pos=jnp.zeros((p, 3), jnp.float32),
             scale=jnp.zeros((p, 3), jnp.float32),
+            yaw=jnp.zeros((p,), jnp.float32),
             color=jnp.zeros((p,), jnp.uint8),
             flags=jnp.zeros((p,), jnp.uint8),
         )

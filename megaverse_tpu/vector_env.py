@@ -170,9 +170,11 @@ class VectorEnv:
                 def body(carry, i):
                     state, _ = carry
                     res = vstep(state, next_scenes, pool[i % pool.shape[0]], shaping)
-                    obs = jax.lax.optimization_barrier(res.obs)
-                    csum = jnp.sum(obs[..., ::16, ::16, 0].astype(jnp.int32))
-                    return (res.state, obs), (res.done, csum)
+                    # obs rides the scan carry, so every step's frame is
+                    # materialized; the full-tensor sum is layout-friendly
+                    # (strided u8 slicing relayouts catastrophically on TPU).
+                    csum = jnp.sum(res.obs, dtype=jnp.int32)
+                    return (res.state, res.obs), (res.done, csum)
 
                 obs0 = jnp.zeros(
                     (state.done.shape[0], self.num_agents_per_env,
