@@ -111,6 +111,42 @@ def render_state(scenario: Scenario, state: EnvState) -> jax.Array:
     )
 
 
+def render_custom_camera(
+    scenario: Scenario,
+    state: EnvState,
+    eye,
+    yaw: float,
+    pitch: float,
+    width: int = 2 * C.OBS_WIDTH,
+    height: int = 2 * C.OBS_HEIGHT,
+) -> jax.Array:
+    """Free-camera / hires render of ONE env -> uint8 [height, width, 3].
+
+    The equivalent of the reference overview camera + hires chained renderer
+    (render_utils.cpp Overview, bindings draw_overview/draw_hires,
+    megaverse.cpp:154-201): same scene content, arbitrary camera and
+    resolution, through the XLA table renderer.
+    """
+    import dataclasses
+
+    from megaverse_tpu.ops import raycast_pallas as RP
+    from megaverse_tpu.types import AgentState
+
+    cfg = dataclasses.replace(scenario.cfg, obs_width=width, obs_height=height)
+    prims = RP.build_prim_table(
+        cfg, state.box_lo, state.box_hi, state.box_color, state.props, state.agents
+    )
+    eye = jnp.asarray(eye, jnp.float32)
+    cam_agent = AgentState.create(1).replace(
+        pos=(eye - jnp.asarray(
+            [0.0, C.AGENT_BODY_OFFSET_Y + C.AGENT_CAMERA_OFFSET_Y, 0.0]))[None, :],
+        yaw=jnp.asarray([yaw], jnp.float32),
+        pitch=jnp.asarray([pitch], jnp.float32),
+    )
+    img = R.render_table(cfg, cam_agent, prims, jnp.asarray(1.0))
+    return img[0]
+
+
 def renderer_backend() -> str:
     """'pallas' (TPU product path) or 'xla' (rolled table scan, CPU/tests).
 
@@ -124,8 +160,15 @@ def renderer_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
-def render_batch(scenario: Scenario, states: EnvState, backend: str | None = None) -> jax.Array:
-    """Observations for a BATCH of envs -> uint8 [B, A, H, W, 3].
+def render_batch(scenario: Scenario, states: EnvState, backend: str | None = None,
+                 fmt: str = "rgb") -> jax.Array:
+    """Observations for a BATCH of envs.
+
+    fmt="rgb": uint8 [B, A, H, W, 3]. fmt="packed": int32 [B, A, H, W] with
+    RGB in the low 24 bits — the canonical on-device format. A TPU array whose
+    minor dimension is 3 tiles to 128 lanes (a 42x physical blowup: a 113 MB
+    frame batch occupies 4.8 GB of HBM), so packed obs must be used whenever
+    observations stay on device.
 
     The whole env x agent camera batch renders in one launch — the analogue of
     the reference's single batched Vulkan submission for all envs
@@ -146,9 +189,12 @@ def render_batch(scenario: Scenario, states: EnvState, backend: str | None = Non
     )(states)
     if backend == "pallas":
         packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width)
-        return RP.unpack_rgb(packed)
-    # XLA fallback: rolled scan over the same table.
-    def one(s, prim, tf):
-        return R.render_table(cfg, s.agents, prim, tf)
+    else:
+        # XLA fallback: rolled scan over the same table.
+        def one(s, prim, tf):
+            return R.render_table_packed(cfg, s.agents, prim, tf)
 
-    return jax.vmap(one)(states, prims, remaining)
+        packed = jax.vmap(one)(states, prims, remaining)
+    if fmt == "packed":
+        return packed
+    return RP.unpack_rgb(packed)

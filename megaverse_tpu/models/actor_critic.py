@@ -34,7 +34,10 @@ class ConvEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
-        # obs: uint8 [..., H, W, 3]
+        # obs: uint8 [..., H, W, 3] or packed-RGB int32 [..., H, W]
+        if obs.dtype in (jnp.int32, jnp.uint32):
+            obs = jnp.stack(
+                [(obs >> 16) & 0xFF, (obs >> 8) & 0xFF, obs & 0xFF], axis=-1)
         x = obs.astype(self.dtype) / jnp.asarray(255.0, self.dtype)
         batch_shape = x.shape[:-3]
         x = x.reshape((-1,) + x.shape[-3:])

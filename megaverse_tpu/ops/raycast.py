@@ -501,6 +501,13 @@ def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
     return (col * 255.0 + 0.5).astype(jnp.uint8)
 
 
+def render_table_packed(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
+                        time_fraction: jax.Array) -> jax.Array:
+    """render_table but emitting packed int32 RGB (matches the Pallas kernel)."""
+    rgb = render_table(cfg, agents, prims, time_fraction).astype(jnp.int32)
+    return (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
+
+
 def render(
     cfg: EnvConfig,
     box_lo: jax.Array,

@@ -51,7 +51,7 @@ class TrainConfig:
 
 
 class RolloutBatch(NamedTuple):
-    obs: jax.Array        # u8 [T, B, A, H, W, 3]
+    obs: jax.Array        # packed i32 [T, B, A, H, W]
     actions: jax.Array    # i32 [T, B, A, 6]
     logp: jax.Array       # f32 [T, B, A]
     value: jax.Array      # f32 [T, B, A]
@@ -64,7 +64,7 @@ class LearnerState(NamedTuple):
     params: Any
     opt_state: Any
     env_state: EnvState   # batched [B, ...]
-    obs: jax.Array        # u8 [B, A, H, W, 3] current observations
+    obs: jax.Array        # packed i32 [B, A, H, W] current observations
     carry: jax.Array      # f32 [B, A, hidden] RNN state
     rng: jax.Array
     step: jax.Array       # i32 env steps so far
@@ -114,7 +114,7 @@ class Learner:
             actions, logp = sample_actions(logits, k)
             mask = multidiscrete_to_bitmask(actions)
             res = vstep(env_state, next_scenes, mask, shaping)
-            new_obs = render_batch(scen, res.state)
+            new_obs = render_batch(scen, res.state, fmt="packed")
             # reset RNN state on episode boundary
             rnn2 = jnp.where(res.done[:, None, None], 0.0, rnn2)
             out = (obs, actions.astype(jnp.int32), logp, value, res.reward, res.done)

@@ -220,8 +220,22 @@ def greedy_merge_boxes(vtype: np.ndarray, vcolor: np.ndarray, g: GridConfig):
     Host-side equivalent of VoxelGridComponent::toBoundingBoxes
     (component_voxel_grid.hpp:108-187): expands axis-aligned parallelepipeds of
     matching voxels so the renderer tests a handful of boxes instead of
-    thousands of voxels.
+    thousands of voxels. Uses the native C++ kernel when available
+    (native/megaverse_native.cpp), numpy fallback otherwise.
     """
+    from megaverse_tpu.utils import native
+
+    merged = native.greedy_merge(vtype, vcolor)
+    if merged is not None:
+        lo_i, hi_i, cols = merged
+        vs = g.voxel_size
+        origin = np.asarray(g.origin)
+        return [
+            ((origin + lo_i[i] * vs).astype(np.float32),
+             (origin + hi_i[i] * vs).astype(np.float32), int(cols[i]))
+            for i in range(len(cols))
+        ]
+
     opaque = (vtype & C.VOXEL_OPAQUE) != 0
     # Voxels that are solid but not opaque still need rendering in the
     # reference only when OPAQUE is set; solid-only voxels are invisible

@@ -98,6 +98,13 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
     walls = maze_walls(maze, rng, omit_p)
     g = scene.cfg.grid
     wall_rows = int(np.ceil(2 * wall_height))
+    iy0 = int(np.floor((0.0 - g.origin[1]) / g.voxel_size))
+    from megaverse_tpu.utils import native
+
+    segs_scaled = np.asarray(walls, np.float64) * MAZE_SCALE if walls else np.zeros((0, 4))
+    native_vox = native.voxelize_segments(
+        scene.vtype, segs_scaled, g.origin[0], g.origin[2], g.voxel_size,
+        iy0, wall_rows)
     for (x1, z1, x2, z2) in walls:
         x1, z1, x2, z2 = (c * MAZE_SCALE for c in (x1, z1, x2, z2))
         seg = np.hypot(x1 - x2, z1 - z2)
@@ -134,17 +141,17 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
             scene.add_prop(C.PROP_ROTBOX, (cx, e_scale[1], cz), e_scale,
                            bottom_edging_color, yaw=rot_y)
 
-        # voxelize the wall for collision (sample along the segment)
-        n_samples = max(int(seg / (g.voxel_size * 0.4)) + 1, 2)
-        ts = np.linspace(0.0, 1.0, n_samples)
-        sx = x1 + (x2 - x1) * ts
-        sz = z1 + (z2 - z1) * ts
-        ix = np.floor((sx - g.origin[0]) / g.voxel_size).astype(np.int64)
-        iz = np.floor((sz - g.origin[2]) / g.voxel_size).astype(np.int64)
-        iy0 = int(np.floor((0.0 - g.origin[1]) / g.voxel_size))
-        for xx, zz in zip(ix, iz):
-            if 0 <= xx < g.dims[0] and 0 <= zz < g.dims[2]:
-                scene.vtype[xx, iy0:iy0 + wall_rows, zz] |= C.VOXEL_SOLID
+        if not native_vox:
+            # numpy fallback: sample along the segment
+            n_samples = max(int(seg / (g.voxel_size * 0.4)) + 1, 2)
+            ts = np.linspace(0.0, 1.0, n_samples)
+            sx = x1 + (x2 - x1) * ts
+            sz = z1 + (z2 - z1) * ts
+            ix = np.floor((sx - g.origin[0]) / g.voxel_size).astype(np.int64)
+            iz = np.floor((sz - g.origin[2]) / g.voxel_size).astype(np.int64)
+            for xx, zz in zip(ix, iz):
+                if 0 <= xx < g.dims[0] and 0 <= zz < g.dims[2]:
+                    scene.vtype[xx, iy0:iy0 + wall_rows, zz] |= C.VOXEL_SOLID
 
     return maze, size
 

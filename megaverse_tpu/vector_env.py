@@ -51,6 +51,7 @@ class VectorEnv:
         params: Optional[Dict[str, float]] = None,
         seed: int = 42,
         render: bool = True,
+        obs_format: str = "auto",
         device=None,
     ):
         self.scenario: Scenario = make_scenario(
@@ -59,6 +60,11 @@ class VectorEnv:
         self.num_envs = num_envs
         self.num_agents_per_env = num_agents_per_env
         self.render_obs = render
+        # "packed" int32 [B,A,H,W] is the canonical on-device obs format: a
+        # TPU u8 array with minor dim 3 pads 3 -> 128 lanes (42x HBM blowup).
+        if obs_format == "auto":
+            obs_format = "packed" if jax.default_backend() == "tpu" else "rgb"
+        self.obs_format = obs_format
         self.device = device
 
         self._gens: List[np.random.Generator] = []
@@ -80,14 +86,22 @@ class VectorEnv:
         def _step_render(state, next_scenes, action, shaping):
             res = self._vstep_inner(state, next_scenes, action, shaping)
             if do_render:
-                obs = render_batch(scen, res.state)
+                obs = render_batch(scen, res.state, fmt=self.obs_format)
             else:
                 obs = res.obs
             return res._replace(obs=obs)
 
         self._step_render = _step_render
         self._vstep = jax.jit(_step_render)
-        self._vrender = jax.jit(lambda s: render_batch(scen, s))
+        # Split dispatches: the sim step is a pure-XLA dependent chain (fast to
+        # pipeline), while render dispatches depend only on their state
+        # snapshot and are mutually independent — they overlap even when a
+        # Pallas call has high per-execution latency (tunneled dev TPUs).
+        self._vstep_sim = jax.jit(self._vstep_inner)
+        self._vrender = jax.jit(lambda s: render_batch(scen, s, fmt=self.obs_format))
+        self._vrender_sum = jax.jit(
+            lambda s: (lambda o: (o, jnp.sum(o, dtype=jnp.int32)))(
+                render_batch(scen, s, fmt=self.obs_format)))
         self._vinit = jax.jit(
             jax.vmap(lambda sc, key: state_from_scene(sc, num_agents_per_env, key))
         )
@@ -133,33 +147,63 @@ class VectorEnv:
             actions = multidiscrete_to_bitmask(actions)
         actions = actions.astype(jnp.int32)
 
-        result = self._vstep(self.state, self.next_scenes, actions, self.shaping)
+        result = self._vstep_sim(self.state, self.next_scenes, actions, self.shaping)
         self.state = result.state
+        obs = self._vrender(result.state) if self.render_obs else result.obs
 
         self._pending_dones.append(result.done)
         self._steps_since_poll += 1
         if self._steps_since_poll >= DONE_POLL_INTERVAL:
             self._refill_consumed_slots()
 
-        return result.obs, result.reward, result.done, result.true_objective
+        return obs, result.reward, result.done, result.true_objective
 
     def step_many(self, action_pool: jax.Array, n_steps: int):
-        """Scan `n_steps` env steps in one dispatch (throughput path).
+        """Run `n_steps` env steps back-to-back (throughput path).
 
         `action_pool` is a device array [K, B, A] of int32 bitmasks; step i
         uses pool[i % K]. Returns (last_obs, dones [n, B], checksums [n]).
-        The per-step observation tensors are forced to materialize (via an
-        optimization barrier) so the benchmark measures real obs production,
-        then reduced to checksums instead of being shipped to the host.
+        Every step's observation tensor is materialized; checksums (full-tensor
+        sums — strided u8 slicing relayouts catastrophically on TPU) stand in
+        for shipping frames to the host.
+
+        Two execution modes:
+        - default: a Python loop of single jitted step dispatches. Dispatches
+          pipeline asynchronously, so device utilization stays high.
+        - MEGAVERSE_SCAN_STEPS=1: one jitted lax.scan (single dispatch for the
+          whole chunk). Preferable on real hardware; on the tunneled dev TPU
+          in this container, a Pallas call inside an XLA loop degrades to a
+          ~100 ms host round-trip per iteration, so it is off by default.
 
         n_steps should stay well below the shortest episode length in steps so
-        a layout-buffer slot cannot be consumed twice within one scan.
+        a layout-buffer slot cannot be consumed twice within one chunk.
         """
+        import os
+
         if self.state is None:
             self.reset()
         self._refill_consumed_slots()
         pool = jnp.asarray(action_pool, jnp.int32)
 
+        if os.environ.get("MEGAVERSE_SCAN_STEPS") == "1":
+            return self._step_many_scan(pool, n_steps)
+
+        dones, csums = [], []
+        obs = None
+        for i in range(n_steps):
+            res = self._vstep_sim(
+                self.state, self.next_scenes, pool[i % pool.shape[0]], self.shaping)
+            self.state = res.state
+            obs, csum = self._vrender_sum(res.state)
+            dones.append(res.done)
+            csums.append(csum)
+        dones = jnp.stack(dones)
+        csums = jnp.stack(csums)
+        self._pending_dones.append(jnp.any(dones, axis=0))
+        self._steps_since_poll = 0  # refilled at next step_many/flush
+        return obs, dones, csums
+
+    def _step_many_scan(self, pool: jax.Array, n_steps: int):
         if not hasattr(self, "_scan_fns"):
             self._scan_fns = {}
         key = (n_steps, pool.shape)
@@ -170,9 +214,6 @@ class VectorEnv:
                 def body(carry, i):
                     state, _ = carry
                     res = vstep(state, next_scenes, pool[i % pool.shape[0]], shaping)
-                    # obs rides the scan carry, so every step's frame is
-                    # materialized; the full-tensor sum is layout-friendly
-                    # (strided u8 slicing relayouts catastrophically on TPU).
                     csum = jnp.sum(res.obs, dtype=jnp.int32)
                     return (res.state, res.obs), (res.done, csum)
 
@@ -191,7 +232,7 @@ class VectorEnv:
             self.state, self.next_scenes, pool, self.shaping
         )
         self._pending_dones.append(jnp.any(dones, axis=0))
-        self._steps_since_poll = 0  # refilled at next step_many/flush
+        self._steps_since_poll = 0
         return last_obs, dones, csums
 
     def flush(self) -> None:
@@ -202,8 +243,22 @@ class VectorEnv:
         self._steps_since_poll = 0
         if not self._pending_dones:
             return
-        dones = np.asarray(jnp.any(jnp.stack(self._pending_dones), axis=0))
+        stacked = jnp.stack(self._pending_dones)
         self._pending_dones = []
+        # Device->host transfers through the dev-TPU tunnel are extremely slow,
+        # so gate on a scalar and ship a bit-packed mask instead of the bool
+        # array.
+        if not bool(jnp.any(stacked)):
+            return
+        mask = jnp.any(stacked, axis=0)
+        pad = (-mask.shape[0]) % 8
+        if pad:
+            mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+        packed_bits = jnp.sum(
+            mask.reshape(-1, 8).astype(jnp.int32) << jnp.arange(8)[None, :],
+            axis=-1).astype(jnp.uint8)
+        dones = np.unpackbits(np.asarray(packed_bits), bitorder="little")[
+            : self.num_envs]
         idx = np.nonzero(dones)[0]
         if idx.size == 0:
             return
@@ -229,3 +284,12 @@ class VectorEnv:
     @property
     def action_space_sizes(self):
         return list(C.ACTION_SPACE_SIZES)
+
+    @staticmethod
+    def unpack_obs(obs: jax.Array) -> jax.Array:
+        """packed int32 [..., H, W] -> uint8 [..., H, W, 3] (host-side use)."""
+        from megaverse_tpu.ops.raycast_pallas import unpack_rgb
+
+        if obs.dtype == jnp.uint8:
+            return obs
+        return unpack_rgb(obs)

@@ -1,0 +1,179 @@
+"""Scenario generation + mechanics tests (counterpart of the reference's
+env_tests.cpp + scenario behaviors)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import megaverse_tpu.constants as C
+from megaverse_tpu.scenarios import make_scenario, registered_scenarios
+
+ALL_SCENARIOS = [
+    "Empty", "Test", "Football", "BoxAGone", "TowerBuilding",
+    "ObstaclesEasy", "ObstaclesMedium", "ObstaclesHard",
+    "Collect", "Sokoban", "HexMemory", "HexExplore", "Rearrange",
+    "ObstaclesWalls", "ObstaclesSteps", "ObstaclesLava",
+]
+
+
+def test_registry_matches_reference():
+    """All 16 names from scenariosGlobalInit (init.hpp:26-57) register."""
+    names = set(registered_scenarios())
+    for n in ALL_SCENARIOS:
+        assert n.casefold() in names
+
+
+@pytest.mark.parametrize("name", ALL_SCENARIOS)
+def test_generation_deterministic(name):
+    s = make_scenario(name, num_agents=2)
+    a = s.generate(np.random.default_rng(99))
+    s2 = make_scenario(name, num_agents=2)
+    b = s2.generate(np.random.default_rng(99))
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.parametrize("name", ALL_SCENARIOS)
+def test_generation_within_capacity(name):
+    s = make_scenario(name, num_agents=4)
+    for seed in range(3):
+        sc = s.generate(np.random.default_rng(seed))
+        assert sc.vtype.shape == s.cfg.grid.dims
+        assert np.isfinite(np.asarray(sc.agent_spawn)).all()
+        # agents spawn inside the grid bounds
+        lo = np.asarray(s.cfg.grid.origin)
+        hi = lo + np.asarray(s.cfg.grid.dims) * s.cfg.grid.voxel_size
+        sp = np.asarray(sc.agent_spawn)
+        assert (sp[:, 0] >= lo[0]).all() and (sp[:, 0] <= hi[0]).all()
+        assert (sp[:, 2] >= lo[2]).all() and (sp[:, 2] <= hi[2]).all()
+
+
+def _single_env(name, seed=0, num_agents=1, **params):
+    from megaverse_tpu.types import state_from_scene
+
+    s = make_scenario(name, num_agents=num_agents, params=params or None)
+    sc = s.generate(np.random.default_rng(seed))
+    state = state_from_scene(jax.tree.map(jnp.asarray, sc), num_agents,
+                             jax.random.PRNGKey(0))
+    return s, state
+
+
+def test_sokoban_push_box():
+    """Pushing a box with Interact moves it one cell (cpp:168-233)."""
+    from megaverse_tpu.ops import grid as G
+
+    s, state = _single_env("Sokoban", seed=1)
+    cfg = s.cfg.grid
+    # place the agent manually next to the first box, facing it (+x)
+    vobj = np.asarray(state.vobj)
+    bx, by, bz = [int(v[0]) for v in np.nonzero(vobj)]
+    box_idx = int(vobj[bx, by, bz])
+    # stand one voxel -x of the box, face +x (yaw = -pi/2)
+    apos = jnp.asarray([[(bx - 1 + 0.5) * 2.0, 2.0 + C.AGENT_HALF_HEIGHT,
+                         (bz + 0.5) * 2.0]])
+    agents = state.agents.replace(pos=apos, yaw=jnp.asarray([-np.pi / 2]))
+    state = state.replace(agents=agents)
+
+    shaping = jnp.asarray(s.shaping_array())
+    action = jnp.asarray([C.ACTION_INTERACT], jnp.int32)
+    state2, rew = s.scen_step(state, action, shaping)
+
+    vobj2 = np.asarray(state2.vobj)
+    dest_in_grid = bx + 1 < cfg.dims[0]
+    wall = np.asarray(state.scen.wall)
+    if dest_in_grid and not wall[bx + 1, bz] and vobj[bx + 1, by, bz] == 0:
+        assert vobj2[bx, by, bz] == 0
+        assert vobj2[bx + 1, by, bz] == box_idx
+        # prop moved 2 m (voxel size)
+        moved = np.asarray(state2.props.pos)[box_idx - 1] - np.asarray(state.props.pos)[box_idx - 1]
+        np.testing.assert_allclose(moved, [2.0, 0.0, 0.0], atol=1e-5)
+    else:
+        # blocked: nothing moves
+        np.testing.assert_array_equal(vobj2, vobj)
+
+
+def test_stacking_pick_and_place():
+    """Interact picks up a facing movable box; Interact again places it."""
+    from megaverse_tpu.scenarios.components import object_stacking_step
+
+    s, state = _single_env("TowerBuilding", seed=2)
+    cfg = s.cfg.grid
+    vobj = np.asarray(state.vobj)
+    xs, ys, zs = np.nonzero(vobj)
+    # choose a box with a free voxel at -x (so the agent can stand there)
+    found = None
+    vt = np.asarray(state.vtype)
+    for x, y, z in zip(xs, ys, zs):
+        if x >= 2 and vobj[x - 1, y, z] == 0 and not (vt[x - 1, y, z] & C.VOXEL_SOLID):
+            found = (int(x), int(y), int(z))
+            break
+    assert found is not None
+    bx, by, bz = found
+    box_idx = int(vobj[bx, by, bz]) - 1
+
+    # stand 1 voxel -x from the box, face +x; pickup spot lands in the box voxel
+    apos = jnp.asarray([[bx - 1 + 0.5, by + C.AGENT_HALF_HEIGHT, bz + 0.5]])
+    agents = state.agents.replace(pos=apos, yaw=jnp.asarray([-np.pi / 2]))
+    state = state.replace(agents=agents)
+
+    action = jnp.asarray([C.ACTION_INTERACT], jnp.int32)
+    res = object_stacking_step(cfg, state, action)
+    assert bool(res.picked[0])
+    assert int(res.state.agents.carried[0]) == box_idx
+    assert np.asarray(res.state.vobj)[bx, by, bz] == 0
+    # carried object scaled by 0.78
+    np.testing.assert_allclose(
+        np.asarray(res.state.props.scale)[box_idx], 0.39 * 0.78, atol=1e-5)
+
+
+def test_collect_reward_pickup():
+    """Walking into a reward voxel collects it (scenario_collect.cpp:145-178)."""
+    s, state = _single_env("Collect", seed=3)
+    sc = state.scen
+    active = np.asarray(sc.reward_active)
+    assert active.any()
+    r = int(np.nonzero(active)[0][0])
+    voxel = np.asarray(sc.reward_voxel)[r]
+    # teleport the agent into the reward voxel
+    apos = jnp.asarray([[voxel[0] + 0.5, voxel[1] + 0.4, voxel[2] + 0.5]])
+    state = state.replace(agents=state.agents.replace(pos=apos))
+    shaping = jnp.asarray(s.shaping_array())
+    state2, rew = s.scen_step(state, jnp.zeros((1,), jnp.int32), shaping)
+    val = float(np.asarray(sc.reward_val)[r])
+    assert not bool(np.asarray(state2.scen.reward_active)[r])
+    assert float(rew[0]) == pytest.approx(val, abs=1e-4)
+
+
+def test_boxagone_tile_expires():
+    """Standing on a tile arms it; it disappears after 15 ticks."""
+    s, state = _single_env("BoxAGone", seed=4)
+    sc = state.scen
+    t0 = int(np.nonzero(np.asarray(sc.tile_active))[0][0])
+    voxel = np.asarray(sc.tile_voxel)[t0]
+    # stand on top of the tile voxel (voxel size 2)
+    apos = jnp.asarray([[(voxel[0] + 0.5) * 2, (voxel[1] + 1) * 2 + C.AGENT_HALF_HEIGHT,
+                         (voxel[2] + 0.5) * 2]])
+    agents = state.agents.replace(pos=apos, on_ground=jnp.asarray([True]))
+    state = state.replace(agents=agents)
+    shaping = jnp.asarray(s.shaping_array())
+    act = jnp.zeros((1,), jnp.int32)
+    for i in range(16):
+        state, rew = s.scen_step(state, act, shaping)
+        state = state.replace(agents=state.agents.replace(on_ground=jnp.asarray([True])))
+    assert not bool(np.asarray(state.scen.tile_active)[t0])
+    # voxel no longer solid
+    vt = np.asarray(state.vtype)[tuple(voxel)]
+    assert not (vt & C.VOXEL_SOLID)
+
+
+def test_hexexplore_solve():
+    s, state = _single_env("HexExplore", seed=5)
+    target = np.asarray(state.scen.reward_pos)
+    apos = jnp.asarray([[target[0], C.AGENT_HALF_HEIGHT, target[2]]])
+    state = state.replace(agents=state.agents.replace(pos=apos))
+    shaping = jnp.asarray(s.shaping_array())
+    state2, rew = s.scen_step(state, jnp.zeros((1,), jnp.int32), shaping)
+    assert bool(np.asarray(state2.scen.solved))
+    assert float(rew[0]) == pytest.approx(5.0)
+    assert float(state2.true_objective[0]) == 1.0
