@@ -18,6 +18,11 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/megaverse_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Default renderer for benchmarking: one fused XLA program per step. The
+# Pallas kernel is faster per-frame on real TPUs, but on this container's
+# tunneled dev TPU a Pallas call in a dependent chain costs ~100 ms latency
+# per step (see README / ops docs); override with MEGAVERSE_RENDERER.
+os.environ.setdefault("MEGAVERSE_RENDERER", "unroll")
 
 import numpy as np
 
@@ -44,9 +49,12 @@ def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
          for s in C.ACTION_SPACE_SIZES], axis=-1)
     pool = jax.device_put(multidiscrete_to_bitmask(jnp.asarray(md)))
 
-    # Warmup (compile).
-    _, dones, csums = env.step_many(pool, chunk)
-    jax.block_until_ready(csums)
+    # Warmup (compiles every program incl. the refill path; remote compiles
+    # through the dev-TPU tunnel take minutes, so warm thoroughly).
+    for _ in range(2):
+        _, dones, csums = env.step_many(pool, chunk)
+        jax.block_until_ready(csums)
+    env.flush()
 
     t0 = time.perf_counter()
     for _ in range(chunks):

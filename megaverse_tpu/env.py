@@ -189,6 +189,14 @@ def render_batch(scenario: Scenario, states: EnvState, backend: str | None = Non
     )(states)
     if backend == "pallas":
         packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width)
+    elif backend == "unroll":
+        # Trace-time-unrolled XLA renderer: fastest for small scenes; compile
+        # time grows with primitive count (use for benchmark scenarios).
+        rgb = jax.vmap(
+            lambda s, tf: R.render(cfg, s.box_lo, s.box_hi, s.box_color,
+                                   s.props, s.agents, tf).astype(jnp.int32)
+        )(states, remaining)
+        packed = (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
     else:
         # XLA fallback: rolled scan over the same table.
         def one(s, prim, tf):

@@ -109,7 +109,10 @@ class VectorEnv:
         self.state: Optional[EnvState] = None
         self.next_scenes: Optional[SceneData] = None
         self._steps_since_poll = 0
-        self._pending_dones: List[jax.Array] = []
+        # Running OR of done flags since the last refill: a single fixed-shape
+        # device op per step (a growing jnp.stack would be a fresh program --
+        # and a fresh multi-minute remote compile -- per distinct length).
+        self._pending_dones: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------ seeds
     def seed(self, seed: int) -> None:
@@ -121,7 +124,10 @@ class VectorEnv:
     # ------------------------------------------------------------------ reset
     def _generate_batch(self, env_indices) -> SceneData:
         scenes = [self.scenario.generate(self._gens[i]) for i in env_indices]
-        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *scenes)
+        # Stack on the HOST and ship one buffer per leaf: per-env device_puts
+        # are catastrophically slow through the dev-TPU tunnel.
+        return jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack([np.asarray(x) for x in xs])), *scenes)
 
     def reset(self) -> jax.Array:
         all_idx = range(self.num_envs)
@@ -130,7 +136,7 @@ class VectorEnv:
         keys = jax.random.split(jax.random.PRNGKey(self._master_seed), self.num_envs)
         self.state = self._vinit(jax.device_put(first, self.device), keys)
         self._steps_since_poll = 0
-        self._pending_dones = []
+        self._pending_dones = None
         return self._vrender(self.state)
 
     # ------------------------------------------------------------------- step
@@ -151,7 +157,7 @@ class VectorEnv:
         self.state = result.state
         obs = self._vrender(result.state) if self.render_obs else result.obs
 
-        self._pending_dones.append(result.done)
+        self._accumulate_dones(result.done)
         self._steps_since_poll += 1
         if self._steps_since_poll >= DONE_POLL_INTERVAL:
             self._refill_consumed_slots()
@@ -188,18 +194,36 @@ class VectorEnv:
         if os.environ.get("MEGAVERSE_SCAN_STEPS") == "1":
             return self._step_many_scan(pool, n_steps)
 
+        from megaverse_tpu.env import renderer_backend
+
+        split = renderer_backend() == "pallas"
+        if not split and not hasattr(self, "_chunk_fused"):
+            def fused(state, next_scenes, action, shaping):
+                res = self._step_render(state, next_scenes, action, shaping)
+                return res.state, res.obs, res.done, jnp.sum(res.obs, dtype=jnp.int32)
+
+            self._chunk_fused = jax.jit(fused)
+
         dones, csums = [], []
         obs = None
+        # pre-split the action pool (device indexing per step would add a
+        # dispatch per step)
+        pool_steps = [pool[k] for k in range(pool.shape[0])]
         for i in range(n_steps):
-            res = self._vstep_sim(
-                self.state, self.next_scenes, pool[i % pool.shape[0]], self.shaping)
-            self.state = res.state
-            obs, csum = self._vrender_sum(res.state)
-            dones.append(res.done)
+            act = pool_steps[i % len(pool_steps)]
+            if split:
+                # pallas render hangs off the sim chain as an independent
+                # dispatch (high per-execution latency on tunneled dev TPUs)
+                res = self._vstep_sim(self.state, self.next_scenes, act, self.shaping)
+                self.state = res.state
+                obs, csum = self._vrender_sum(res.state)
+                done = res.done
+            else:
+                self.state, obs, done, csum = self._chunk_fused(
+                    self.state, self.next_scenes, act, self.shaping)
+            self._accumulate_dones(done)
+            dones.append(done)
             csums.append(csum)
-        dones = jnp.stack(dones)
-        csums = jnp.stack(csums)
-        self._pending_dones.append(jnp.any(dones, axis=0))
         self._steps_since_poll = 0  # refilled at next step_many/flush
         return obs, dones, csums
 
@@ -231,7 +255,7 @@ class VectorEnv:
         self.state, dones, csums, last_obs = self._scan_fns[key](
             self.state, self.next_scenes, pool, self.shaping
         )
-        self._pending_dones.append(jnp.any(dones, axis=0))
+        self._accumulate_dones(jnp.any(dones, axis=0))
         self._steps_since_poll = 0
         return last_obs, dones, csums
 
@@ -239,18 +263,24 @@ class VectorEnv:
         """Force buffer refill bookkeeping (call before relying on layouts)."""
         self._refill_consumed_slots()
 
+    def _accumulate_dones(self, done: jax.Array) -> None:
+        if not hasattr(self, "_acc_dones_fn"):
+            self._acc_dones_fn = jax.jit(jnp.logical_or)
+        self._pending_dones = (
+            done if self._pending_dones is None
+            else self._acc_dones_fn(self._pending_dones, done))
+
     def _refill_consumed_slots(self) -> None:
         self._steps_since_poll = 0
-        if not self._pending_dones:
+        if self._pending_dones is None:
             return
-        stacked = jnp.stack(self._pending_dones)
-        self._pending_dones = []
+        mask = self._pending_dones
+        self._pending_dones = None
         # Device->host transfers through the dev-TPU tunnel are extremely slow,
         # so gate on a scalar and ship a bit-packed mask instead of the bool
         # array.
-        if not bool(jnp.any(stacked)):
+        if not bool(jnp.any(mask)):
             return
-        mask = jnp.any(stacked, axis=0)
         pad = (-mask.shape[0]) % 8
         if pad:
             mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
