@@ -47,19 +47,24 @@ def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
     md = np.stack(
         [rng.integers(0, s, size=(n_pool, num_envs, num_agents))
          for s in C.ACTION_SPACE_SIZES], axis=-1)
-    pool = jax.device_put(multidiscrete_to_bitmask(jnp.asarray(md)))
+    # bitmask conversion in numpy (device fetches are slow on dev tunnels)
+    pool = np.zeros(md.shape[:-1], np.int32)
+    for h, bits in enumerate(C.ACTION_HEAD_BITS):
+        pool |= np.asarray(bits, np.int32)[md[..., h]]
 
     # Warmup (compiles every program incl. the refill path; remote compiles
-    # through the dev-TPU tunnel take minutes, so warm thoroughly).
+    # through the dev-TPU tunnel take minutes, so warm thoroughly). Block only
+    # on the LAST checksum: the device executes dispatches in order, and each
+    # host sync is a slow round trip on tunneled dev TPUs.
     for _ in range(2):
         _, dones, csums = env.step_many(pool, chunk)
-        jax.block_until_ready(csums)
+        jax.block_until_ready(csums[-1])
     env.flush()
 
     t0 = time.perf_counter()
     for _ in range(chunks):
         _, dones, csums = env.step_many(pool, chunk)
-    jax.block_until_ready(csums)
+    jax.block_until_ready(csums[-1])
     dt = time.perf_counter() - t0
 
     return num_envs * num_agents * chunk * chunks / dt

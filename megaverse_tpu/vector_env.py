@@ -189,26 +189,31 @@ class VectorEnv:
         if self.state is None:
             self.reset()
         self._refill_consumed_slots()
-        pool = jnp.asarray(action_pool, jnp.int32)
 
         if os.environ.get("MEGAVERSE_SCAN_STEPS") == "1":
-            return self._step_many_scan(pool, n_steps)
+            return self._step_many_scan(jnp.asarray(action_pool, jnp.int32), n_steps)
 
         from megaverse_tpu.env import renderer_backend
 
         split = renderer_backend() == "pallas"
         if not split and not hasattr(self, "_chunk_fused"):
-            def fused(state, next_scenes, action, shaping):
+            def fused(state, next_scenes, action, shaping, pending):
                 res = self._step_render(state, next_scenes, action, shaping)
-                return res.state, res.obs, res.done, jnp.sum(res.obs, dtype=jnp.int32)
+                return (res.state, res.obs, res.done,
+                        jnp.sum(res.obs, dtype=jnp.int32), pending | res.done)
 
             self._chunk_fused = jax.jit(fused)
 
         dones, csums = [], []
         obs = None
-        # pre-split the action pool (device indexing per step would add a
-        # dispatch per step)
-        pool_steps = [pool[k] for k in range(pool.shape[0])]
+        # Pre-split the action pool on the HOST and upload each row once:
+        # per-step device indexing would add a dispatch (and a distinct
+        # program compile per index) per step.
+        if isinstance(action_pool, np.ndarray):
+            rows = action_pool.astype(np.int32)
+        else:
+            rows = np.asarray(jax.device_get(action_pool)).astype(np.int32)
+        pool_steps = [jax.device_put(rows[k]) for k in range(rows.shape[0])]
         for i in range(n_steps):
             act = pool_steps[i % len(pool_steps)]
             if split:
@@ -218,10 +223,13 @@ class VectorEnv:
                 self.state = res.state
                 obs, csum = self._vrender_sum(res.state)
                 done = res.done
+                self._accumulate_dones(done)
             else:
-                self.state, obs, done, csum = self._chunk_fused(
-                    self.state, self.next_scenes, act, self.shaping)
-            self._accumulate_dones(done)
+                pending = (self._pending_dones if self._pending_dones is not None
+                           else jnp.zeros((self.num_envs,), bool))
+                self.state, obs, done, csum, pending = self._chunk_fused(
+                    self.state, self.next_scenes, act, self.shaping, pending)
+                self._pending_dones = pending
             dones.append(done)
             csums.append(csum)
         self._steps_since_poll = 0  # refilled at next step_many/flush
