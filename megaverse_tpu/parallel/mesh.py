@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.6
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from megaverse_tpu.rl.learner import Learner, LearnerState
 from megaverse_tpu.types import SceneData
@@ -69,13 +73,15 @@ class ParallelLearner:
         # Partition specs: pytree-prefix form (a single spec per state leaf
         # group). rng carries a leading [n_devices] axis so each shard owns an
         # independent PRNG stream.
-        self._sharded_step = shard_map(
-            step_fn,
+        kwargs = dict(
             mesh=mesh,
             in_specs=(repl, repl, shard, shard, shard, shard, repl, shard, shard),
             out_specs=(repl, repl, shard, shard, shard, shard, repl, repl),
-            check_rep=False,
         )
+        try:
+            self._sharded_step = shard_map(step_fn, check_vma=False, **kwargs)
+        except TypeError:  # pragma: no cover - pre-0.6 jax
+            self._sharded_step = shard_map(step_fn, check_rep=False, **kwargs)
         self._jitted = jax.jit(self._sharded_step)
 
     def init(self, rng: jax.Array, env_state, obs) -> LearnerState:
