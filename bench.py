@@ -18,6 +18,10 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/megaverse_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+from megaverse_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 # Default renderer for benchmarking: one fused XLA program per step. The
 # Pallas kernel is faster per-frame on real TPUs, but on this container's
 # tunneled dev TPU a Pallas call in a dependent chain costs ~100 ms latency
@@ -71,10 +75,18 @@ def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
 
 
 def main() -> None:
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
-    scenario = os.environ.get("BENCH_SCENARIO", "Empty")
+    import argparse
 
-    fps = bench_scenario(scenario, num_envs=num_envs, num_agents=1)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scenario", default=os.environ.get("BENCH_SCENARIO", "Empty"))
+    p.add_argument("--num_envs", type=int,
+                   default=int(os.environ.get("BENCH_NUM_ENVS", "4096")))
+    p.add_argument("--num_agents", type=int,
+                   default=int(os.environ.get("BENCH_NUM_AGENTS", "1")))
+    args = p.parse_args()
+    num_envs, scenario = args.num_envs, args.scenario
+
+    fps = bench_scenario(scenario, num_envs=num_envs, num_agents=args.num_agents)
 
     print(json.dumps({
         "metric": f"obs_per_sec_{scenario.lower()}_{num_envs}env",

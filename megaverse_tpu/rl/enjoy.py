@@ -25,6 +25,9 @@ from megaverse_tpu.vector_env import VectorEnv
 
 
 def main(argv=None):
+    from megaverse_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="Empty")
     p.add_argument("--checkpoint", required=False, default=None)

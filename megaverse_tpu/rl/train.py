@@ -51,54 +51,119 @@ def parse_args(argv=None):
     p.add_argument("--train_dir", default="/tmp/megaverse_tpu_train")
     p.add_argument("--experiment", default="default")
     p.add_argument("--save_every_steps", type=float, default=5e5)
+    p.add_argument("--restart_behavior", choices=["resume", "restart"],
+                   default="resume",
+                   help="resume: restore checkpoint.pkl if present (Sample "
+                        "Factory --restart_behavior); restart: train fresh")
     # team spirit annealing (megaverse_params.py:41-55)
     p.add_argument("--megaverse_increase_team_spirit", type=int, default=0)
     p.add_argument("--megaverse_max_team_spirit_steps", type=float, default=1e9)
     return p.parse_args(argv)
 
 
+class _Task:
+    """One scenario's env batch, generators and learner state slice.
+
+    Multitask training keeps one _Task per scenario; the policy/optimizer
+    leaves are shared and round-robined across tasks — the TPU analogue of the
+    reference multitask factory assigning one task per Sample Factory worker
+    while a single learner updates shared weights
+    (megaverse/megaverse_env.py:27-39, train_megaverse.py:32-42).
+    """
+
+    def __init__(self, name: str, args, cfg: TrainConfig, mesh, seed: int):
+        self.name = name
+        self.scenario = make_scenario(name, num_agents=args.num_agents_per_env)
+        self.num_envs = args.num_envs
+        learner = Learner(self.scenario, self.num_envs, cfg)
+        self.plearner = ParallelLearner(learner, mesh)
+
+        ss = np.random.SeedSequence(seed)
+        self.gens = [np.random.Generator(np.random.PCG64(s))
+                     for s in ss.spawn(self.num_envs)]
+
+        first = self.gen_batch(range(self.num_envs))
+        self.next_scenes = self.gen_batch(range(self.num_envs))
+        keys = jax.random.split(jax.random.PRNGKey(seed), self.num_envs)
+        env_state = jax.jit(jax.vmap(
+            lambda sc, k: state_from_scene(sc, args.num_agents_per_env, k)
+        ))(first, keys)
+        scen = self.scenario
+        obs = jax.jit(lambda s: render_batch(scen, s, fmt="packed"))(env_state)
+        self.ls = self.plearner.init(jax.random.PRNGKey(seed), env_state, obs)
+        self.shaping = jnp.asarray(
+            np.tile(scen.shaping_array()[None], (self.num_envs, 1, 1)))
+        self.spirit_col = scen.all_shaping_keys.index(C.P_TEAM_SPIRIT)
+
+    def gen_batch(self, idx):
+        scenes = [self.scenario.generate(self.gens[i]) for i in idx]
+        return jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *scenes)
+
+    def refill(self, rollout: int) -> None:
+        nf = np.asarray(self.ls.env_state.num_frames)
+        idx = np.nonzero(nf < 4 * rollout)[0]
+        if idx.size:
+            new = self.gen_batch(idx.tolist())
+            idx_dev = jnp.asarray(idx)
+            self.next_scenes = jax.tree.map(
+                lambda buf, n: buf.at[idx_dev].set(n), self.next_scenes, new)
+
+
+def resolve_task_list(env_name: str):
+    """'multitask_megaverse8' / 'multitask_obstacles' -> task list, else [env]."""
+    if "multitask" not in env_name:
+        return [env_name]
+    from megaverse_tpu.gym_env import MEGAVERSE8, OBSTACLES_MULTITASK
+
+    if env_name.endswith("megaverse8"):
+        return list(MEGAVERSE8)
+    if env_name.endswith("obstacles"):
+        return list(OBSTACLES_MULTITASK)
+    raise NotImplementedError(env_name)
+
+
 def main(argv=None):
+    from megaverse_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args(argv)
-    scenario = make_scenario(args.env, num_agents=args.num_agents_per_env)
     num_envs = args.num_envs
 
     cfg = TrainConfig(rollout=args.rollout, lr=args.learning_rate,
                       gamma=args.gamma, hidden_size=args.hidden_size,
                       use_rnn=bool(args.use_rnn))
-    learner = Learner(scenario, num_envs, cfg)
     mesh = make_mesh(args.n_devices)
-    plearner = ParallelLearner(learner, mesh)
 
-    # Episode generation streams (one per env, master-seeded).
-    ss = np.random.SeedSequence(args.seed)
-    gens = [np.random.Generator(np.random.PCG64(s)) for s in ss.spawn(num_envs)]
-
-    def gen_batch(idx):
-        scenes = [scenario.generate(gens[i]) for i in idx]
-        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *scenes)
-
-    first = gen_batch(range(num_envs))
-    next_scenes = gen_batch(range(num_envs))
-    keys = jax.random.split(jax.random.PRNGKey(args.seed), num_envs)
-    env_state = jax.jit(jax.vmap(
-        lambda sc, k: state_from_scene(sc, args.num_agents_per_env, k)))(first, keys)
-    obs = jax.jit(lambda s: render_batch(scenario, s, fmt="packed"))(env_state)
-
-    ls = plearner.init(jax.random.PRNGKey(args.seed), env_state, obs)
-    shaping_np = np.tile(scenario.shaping_array()[None], (num_envs, 1, 1))
-    shaping = jnp.asarray(shaping_np)
-    spirit_col = scenario.all_shaping_keys.index(C.P_TEAM_SPIRIT)
+    names = resolve_task_list(args.env)
+    tasks = [_Task(n, args, cfg, mesh, args.seed + 1000 * i)
+             for i, n in enumerate(names)]
+    # Policy weights and optimizer state are shared across tasks.
+    params, opt_state = tasks[0].ls.params, tasks[0].ls.opt_state
 
     out_dir = Path(args.train_dir) / args.experiment
     out_dir.mkdir(parents=True, exist_ok=True)
 
     total = int(args.train_for_env_steps)
     steps_done = 0
-    last_save = 0
+    ckpt_path = out_dir / "checkpoint.pkl"
+    if args.restart_behavior == "resume" and ckpt_path.exists():
+        with open(ckpt_path, "rb") as f:
+            ckpt = pickle.load(f)
+        params = jax.tree.map(jnp.asarray, ckpt["params"])
+        opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
+        steps_done = int(ckpt["steps"])
+        print(f"resumed from {ckpt_path} at {steps_done:,} env steps", flush=True)
+    last_save = steps_done
+    start_steps = steps_done
     t0 = time.perf_counter()
     it = 0
     while steps_done < total:
-        ls, metrics = plearner.train_step(ls, next_scenes, shaping)
+        task = tasks[it % len(tasks)]
+        ls = task.ls._replace(params=params, opt_state=opt_state)
+        ls, metrics = task.plearner.train_step(ls, task.next_scenes, task.shaping)
+        task.ls = ls
+        params, opt_state = ls.params, ls.opt_state
         steps_done += cfg.rollout * num_envs
         it += 1
 
@@ -107,31 +172,28 @@ def main(argv=None):
         # generator stream advances only when its slot refills, so results
         # stay deterministic given the same reset pattern.
         if it % 4 == 0:
-            nf = np.asarray(ls.env_state.num_frames)
-            idx = np.nonzero(nf < 4 * cfg.rollout)[0]
-            if idx.size:
-                new = gen_batch(idx.tolist())
-                idx_dev = jnp.asarray(idx)
-                next_scenes = jax.tree.map(
-                    lambda buf, n: buf.at[idx_dev].set(n), next_scenes, new)
+            for t in tasks:
+                t.refill(cfg.rollout)
 
         # team spirit annealing (megaverse_utils.py:75-84)
         if args.megaverse_increase_team_spirit:
             frac = min(1.0, steps_done / args.megaverse_max_team_spirit_steps)
-            shaping = shaping.at[:, :, spirit_col].set(frac)
+            for t in tasks:
+                t.shaping = t.shaping.at[:, :, t.spirit_col].set(frac)
 
         if it % 10 == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            sps = steps_done / (time.perf_counter() - t0)
+            sps = (steps_done - start_steps) / (time.perf_counter() - t0)
             print(f"steps {steps_done:,}  {sps:,.0f} env-steps/s  "
-                  f"loss {m['loss']:.4f}  reward {m['reward_mean']:.4f}  "
+                  f"task {task.name}  loss {m['loss']:.4f}  "
+                  f"reward {m['reward_mean']:.4f}  "
                   f"entropy {m['entropy']:.3f}", flush=True)
 
         if steps_done - last_save >= args.save_every_steps:
             last_save = steps_done
             ckpt = {
-                "params": jax.tree.map(np.asarray, ls.params),
-                "opt_state": jax.tree.map(np.asarray, ls.opt_state),
+                "params": jax.tree.map(np.asarray, params),
+                "opt_state": jax.tree.map(np.asarray, opt_state),
                 "steps": steps_done,
             }
             with open(out_dir / "checkpoint.pkl", "wb") as f:

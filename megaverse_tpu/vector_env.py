@@ -249,11 +249,12 @@ class VectorEnv:
                     csum = jnp.sum(res.obs, dtype=jnp.int32)
                     return (res.state, res.obs), (res.done, csum)
 
-                obs0 = jnp.zeros(
-                    (state.done.shape[0], self.num_agents_per_env,
-                     self.scenario.cfg.obs_height, self.scenario.cfg.obs_width, 3),
-                    jnp.uint8,
-                )
+                shape = (state.done.shape[0], self.num_agents_per_env,
+                         self.scenario.cfg.obs_height, self.scenario.cfg.obs_width)
+                if self.obs_format == "packed":
+                    obs0 = jnp.zeros(shape, jnp.int32)
+                else:
+                    obs0 = jnp.zeros(shape + (3,), jnp.uint8)
                 (state, last_obs), (dones, csums) = jax.lax.scan(
                     body, (state, obs0), jnp.arange(n_steps))
                 return state, dones, csums, last_obs

@@ -17,6 +17,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/megaverse_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+from megaverse_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -86,6 +86,9 @@ class ViewerState:
                  hires: int, params=None):
         import jax
 
+        from megaverse_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
         if os.environ.get("MEGAVERSE_VIEWER_CPU"):
             jax.config.update("jax_platforms", "cpu")
 

@@ -14,10 +14,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent compilation cache across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/megaverse_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import jax  # noqa: E402
 
+from megaverse_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache across test runs. Env-var config does not work
+# here (sitecustomize imports jax before conftest runs), so use jax.config.
+enable_compile_cache()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
