@@ -73,10 +73,15 @@ class LearnerState(NamedTuple):
 class Learner:
     """Builds jitted init / train-step functions for one scenario."""
 
-    def __init__(self, scenario: Scenario, num_envs: int, cfg: TrainConfig = TrainConfig()):
+    def __init__(self, scenario: Scenario, num_envs: int, cfg: TrainConfig = TrainConfig(),
+                 render_bucket: Optional[Tuple[int, int]] = None):
         self.scenario = scenario
         self.num_envs = num_envs
         self.cfg = cfg
+        # (max live boxes, max live props) across the env batch — statically
+        # slices the render tables (see env.render_batch). Supplied by the
+        # caller from generated-layout counts; None renders full capacity.
+        self.render_bucket = render_bucket
         self.model = ActorCritic(hidden_size=cfg.hidden_size, use_rnn=cfg.use_rnn)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -114,7 +119,8 @@ class Learner:
             actions, logp = sample_actions(logits, k)
             mask = multidiscrete_to_bitmask(actions)
             res = vstep(env_state, next_scenes, mask, shaping)
-            new_obs = render_batch(scen, res.state, fmt="packed")
+            new_obs = render_batch(scen, res.state, fmt="packed",
+                                   bucket=self.render_bucket)
             # reset RNN state on episode boundary
             rnn2 = jnp.where(res.done[:, None, None], 0.0, rnn2)
             out = (obs, actions.astype(jnp.int32), logp, value, res.reward, res.done)

@@ -75,8 +75,10 @@ class _Task:
         self.name = name
         self.scenario = make_scenario(name, num_agents=args.num_agents_per_env)
         self.num_envs = args.num_envs
-        learner = Learner(self.scenario, self.num_envs, cfg)
-        self.plearner = ParallelLearner(learner, mesh)
+        self.cfg = cfg
+        self.mesh = mesh
+        self._hw_boxes = 0
+        self._hw_props = 0
 
         ss = np.random.SeedSequence(seed)
         self.gens = [np.random.Generator(np.random.PCG64(s))
@@ -84,19 +86,39 @@ class _Task:
 
         first = self.gen_batch(range(self.num_envs))
         self.next_scenes = self.gen_batch(range(self.num_envs))
+        # Render-table bucket (see env.render_batch): 1.5x headroom over the
+        # initial high-water so episode-to-episode variation rarely forces the
+        # expensive train-step recompile.
+        self.bucket = self._bucket_for(margin=1.5)
+        learner = Learner(self.scenario, self.num_envs, cfg,
+                          render_bucket=self.bucket)
+        self.plearner = ParallelLearner(learner, mesh)
+
         keys = jax.random.split(jax.random.PRNGKey(seed), self.num_envs)
         env_state = jax.jit(jax.vmap(
             lambda sc, k: state_from_scene(sc, args.num_agents_per_env, k)
         ))(first, keys)
         scen = self.scenario
-        obs = jax.jit(lambda s: render_batch(scen, s, fmt="packed"))(env_state)
+        obs = jax.jit(lambda s: render_batch(
+            scen, s, fmt="packed", bucket=self.bucket))(env_state)
         self.ls = self.plearner.init(jax.random.PRNGKey(seed), env_state, obs)
         self.shaping = jnp.asarray(
             np.tile(scen.shaping_array()[None], (self.num_envs, 1, 1)))
         self.spirit_col = scen.all_shaping_keys.index(C.P_TEAM_SPIRIT)
 
+    def _bucket_for(self, margin: float):
+        roundup = lambda n, q: ((max(int(n), 1) + q - 1) // q) * q
+        return (roundup(self._hw_boxes * margin, 4),
+                roundup(self._hw_props * margin, 4))
+
     def gen_batch(self, idx):
         scenes = [self.scenario.generate(self.gens[i]) for i in idx]
+        for sc in scenes:
+            self._hw_boxes = max(
+                self._hw_boxes, int((np.asarray(sc.box_color) > 0).sum()))
+            self._hw_props = max(
+                self._hw_props,
+                int((np.asarray(sc.props.type) != C.PROP_NONE).sum()))
         return jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *scenes)
 
@@ -108,6 +130,14 @@ class _Task:
             idx_dev = jnp.asarray(idx)
             self.next_scenes = jax.tree.map(
                 lambda buf, n: buf.at[idx_dev].set(n), self.next_scenes, new)
+            if (self._hw_boxes > self.bucket[0]
+                    or self._hw_props > self.bucket[1]):
+                self.bucket = self._bucket_for(margin=1.5)
+                learner = Learner(self.scenario, self.num_envs, self.cfg,
+                                  render_bucket=self.bucket)
+                self.plearner = ParallelLearner(learner, self.mesh)
+                print(f"[{self.name}] render bucket grew to {self.bucket}; "
+                      "train step will recompile", flush=True)
 
 
 def resolve_task_list(env_name: str):

@@ -76,32 +76,29 @@ class VectorEnv:
         )
 
         scen = self.scenario
-        do_render = self.render_obs
 
         def _step(state, next_scene, action, shaping):
             return env_step(scen, state, next_scene, action, shaping, render_obs=False)
 
         self._vstep_inner = jax.vmap(_step, in_axes=(0, 0, 0, 0))
 
-        def _step_render(state, next_scenes, action, shaping):
-            res = self._vstep_inner(state, next_scenes, action, shaping)
-            if do_render:
-                obs = render_batch(scen, res.state, fmt=self.obs_format)
-            else:
-                obs = res.obs
-            return res._replace(obs=obs)
+        # Render-table bucket: (max live boxes, max live props) across the
+        # batch, tracked as a high-water mark over every layout generated so
+        # far. Scenario capacities are worst-case (Collect: 768 box slots vs
+        # ~32 live); raycast cost is O(rows x pixels), so rendering only the
+        # live prefix is the main throughput lever for layout-heavy scenes.
+        # Growing the bucket costs a render recompile (rare: high-water
+        # + 25% headroom, rounded up).
+        self._bucket: Optional[tuple] = None
+        self._hw_boxes = 0
+        self._hw_props = 0
+        self._build_render_fns()
 
-        self._step_render = _step_render
-        self._vstep = jax.jit(_step_render)
         # Split dispatches: the sim step is a pure-XLA dependent chain (fast to
         # pipeline), while render dispatches depend only on their state
         # snapshot and are mutually independent — they overlap even when a
         # Pallas call has high per-execution latency (tunneled dev TPUs).
         self._vstep_sim = jax.jit(self._vstep_inner)
-        self._vrender = jax.jit(lambda s: render_batch(scen, s, fmt=self.obs_format))
-        self._vrender_sum = jax.jit(
-            lambda s: (lambda o: (o, jnp.sum(o, dtype=jnp.int32)))(
-                render_batch(scen, s, fmt=self.obs_format)))
         self._vinit = jax.jit(
             jax.vmap(lambda sc, key: state_from_scene(sc, num_agents_per_env, key))
         )
@@ -114,6 +111,58 @@ class VectorEnv:
         # and a fresh multi-minute remote compile -- per distinct length).
         self._pending_dones: Optional[jax.Array] = None
 
+    # ---------------------------------------------------------------- renderer
+    def _build_render_fns(self) -> None:
+        """(Re)jit every render-dependent program for the current bucket."""
+        scen, fmt, bucket = self.scenario, self.obs_format, self._bucket
+        do_render = self.render_obs
+
+        def _render(s):
+            return render_batch(scen, s, fmt=fmt, bucket=bucket)
+
+        def _step_render(state, next_scenes, action, shaping):
+            res = self._vstep_inner(state, next_scenes, action, shaping)
+            obs = _render(res.state) if do_render else res.obs
+            return res._replace(obs=obs)
+
+        self._step_render = _step_render
+        self._vstep = jax.jit(_step_render)
+        self._vrender = jax.jit(_render)
+        self._vrender_sum = jax.jit(
+            lambda s: (lambda o: (o, jnp.sum(o, dtype=jnp.int32)))(_render(s)))
+        for attr in ("_chunk_fused", "_scan_fns"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    def _note_layout_counts(self, scenes) -> None:
+        import megaverse_tpu.constants as _C
+
+        for sc in scenes:
+            self._hw_boxes = max(
+                self._hw_boxes, int((np.asarray(sc.box_color) > 0).sum()))
+            self._hw_props = max(
+                self._hw_props,
+                int((np.asarray(sc.props.type) != _C.PROP_NONE).sum()))
+
+    def _update_bucket(self) -> None:
+        import os
+
+        if os.environ.get("MEGAVERSE_NO_BUCKET"):
+            if self._bucket is not None:
+                self._bucket = None
+                self._build_render_fns()
+            return
+        # render_batch clips the bucket to the table capacities. Quantum 4
+        # keeps tiny scenes tiny (Empty: 1 box) while the 25% headroom +
+        # high-water monotonicity keep recompiles rare for big ones.
+        roundup = lambda n, q: ((max(int(n), 1) + q - 1) // q) * q
+        mb = roundup(self._hw_boxes * 1.25, 4)
+        pb = roundup(self._hw_props * 1.25, 4)
+        new = (mb, pb)
+        if self._bucket is None or mb > self._bucket[0] or pb > self._bucket[1]:
+            self._bucket = new
+            self._build_render_fns()
+
     # ------------------------------------------------------------------ seeds
     def seed(self, seed: int) -> None:
         """Master seed fans out per-env generation streams (megaverse.cpp:60-69)."""
@@ -124,6 +173,7 @@ class VectorEnv:
     # ------------------------------------------------------------------ reset
     def _generate_batch(self, env_indices) -> SceneData:
         scenes = [self.scenario.generate(self._gens[i]) for i in env_indices]
+        self._note_layout_counts(scenes)
         # Stack on the HOST and ship one buffer per leaf: per-env device_puts
         # are catastrophically slow through the dev-TPU tunnel.
         return jax.tree.map(
@@ -137,6 +187,7 @@ class VectorEnv:
         self.state = self._vinit(jax.device_put(first, self.device), keys)
         self._steps_since_poll = 0
         self._pending_dones = None
+        self._update_bucket()
         return self._vrender(self.state)
 
     # ------------------------------------------------------------------- step
@@ -153,9 +204,20 @@ class VectorEnv:
             actions = multidiscrete_to_bitmask(actions)
         actions = actions.astype(jnp.int32)
 
-        result = self._vstep_sim(self.state, self.next_scenes, actions, self.shaping)
-        self.state = result.state
-        obs = self._vrender(result.state) if self.render_obs else result.obs
+        from megaverse_tpu.env import renderer_backend
+
+        if self.render_obs and renderer_backend() == "pallas":
+            # keep the Pallas render off the sim dependency chain (high
+            # per-dispatch latency on tunneled dev TPUs)
+            result = self._vstep_sim(self.state, self.next_scenes, actions,
+                                     self.shaping)
+            self.state = result.state
+            obs = self._vrender(result.state)
+        else:
+            result = self._vstep(self.state, self.next_scenes, actions,
+                                 self.shaping)
+            self.state = result.state
+            obs = result.obs
 
         self._accumulate_dones(result.done)
         self._steps_since_poll += 1
@@ -306,6 +368,7 @@ class VectorEnv:
         self.next_scenes = jax.tree.map(
             lambda buf, new: buf.at[idx_dev].set(new), self.next_scenes, new_scenes
         )
+        self._update_bucket()
 
     # -------------------------------------------------------------- shaping
     def get_reward_shaping(self, env_idx: int, agent_idx: int) -> Dict[str, float]:
