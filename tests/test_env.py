@@ -99,3 +99,27 @@ def test_multi_agent_obs_shapes():
     env = make_env(num_agents_per_env=2, num_envs=2)
     obs = env.reset()
     assert obs.shape == (2, 2, 72, 128, 3)
+
+
+def test_render_bucket_matches_full_table():
+    """Bucketed render-table slicing (env.render_batch bucket=...) must be
+    bit-identical to rendering the full capacity table."""
+    import os
+
+    def rollout():
+        env = make_env(scenario_name="Collect", num_envs=2, seed=77)
+        frames = [np.asarray(env.reset())]
+        rng = np.random.default_rng(1)
+        for _ in range(6):
+            obs, *_ = env.step(random_actions(rng, 2, 1))
+            frames.append(np.asarray(obs))
+        return np.stack(frames), env._bucket
+
+    os.environ["MEGAVERSE_NO_BUCKET"] = "1"
+    try:
+        full, b_full = rollout()
+    finally:
+        del os.environ["MEGAVERSE_NO_BUCKET"]
+    bucketed, b = rollout()
+    assert b_full is None and b is not None
+    assert np.array_equal(full, bucketed)
