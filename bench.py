@@ -34,7 +34,8 @@ BASELINE_EMPTY_FPS = 75_000.0
 
 
 def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
-                   chunk: int = 64, chunks: int = 5) -> float:
+                   chunk: int = 64, chunks: int = 5,
+                   n_devices: int = 1) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -42,8 +43,17 @@ def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
     from megaverse_tpu.types import multidiscrete_to_bitmask
     import megaverse_tpu.constants as C
 
+    device = None
+    if n_devices > 1:
+        # Shard the env batch over the mesh: every [B, ...] buffer splits on
+        # its leading axis and the vmapped step runs SPMD, no collectives.
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
+        device = NamedSharding(mesh, P("data"))
+
     env = VectorEnv(scenario_name, num_envs=num_envs,
-                    num_agents_per_env=num_agents, seed=42)
+                    num_agents_per_env=num_agents, seed=42, device=device)
     env.reset()
 
     rng = np.random.default_rng(0)
@@ -83,10 +93,14 @@ def main() -> None:
                    default=int(os.environ.get("BENCH_NUM_ENVS", "4096")))
     p.add_argument("--num_agents", type=int,
                    default=int(os.environ.get("BENCH_NUM_AGENTS", "1")))
+    p.add_argument("--n_devices", type=int,
+                   default=int(os.environ.get("BENCH_N_DEVICES", "1")),
+                   help="shard the env batch over this many devices")
     args = p.parse_args()
     num_envs, scenario = args.num_envs, args.scenario
 
-    fps = bench_scenario(scenario, num_envs=num_envs, num_agents=args.num_agents)
+    fps = bench_scenario(scenario, num_envs=num_envs, num_agents=args.num_agents,
+                         n_devices=args.n_devices)
 
     print(json.dumps({
         "metric": f"obs_per_sec_{scenario.lower()}_{num_envs}env",

@@ -65,13 +65,19 @@ class VectorEnv:
         if obs_format == "auto":
             obs_format = "packed" if jax.default_backend() == "tpu" else "rgb"
         self.obs_format = obs_format
+        # `device` may be a jax.Device OR a jax.sharding.Sharding. Passing a
+        # NamedSharding over the env-batch axis shards every [B, ...] buffer
+        # (state, layout buffer, actions, shaping) across the mesh; the jitted
+        # vmapped step is embarrassingly parallel over B, so XLA SPMD runs each
+        # shard on its own chip with no collectives — the TPU-native analogue
+        # of the reference's one-Sample-Factory-worker-per-GPU scale-out.
         self.device = device
 
         self._gens: List[np.random.Generator] = []
         self._master_seed = seed
         self.seed(seed)
 
-        self.shaping = jnp.asarray(
+        self.shaping = self._put(
             np.tile(self.scenario.shaping_array()[None], (num_envs, 1, 1))
         )
 
@@ -110,6 +116,12 @@ class VectorEnv:
         # device op per step (a growing jnp.stack would be a fresh program --
         # and a fresh multi-minute remote compile -- per distinct length).
         self._pending_dones: Optional[jax.Array] = None
+
+    def _put(self, x):
+        """Ship to the configured device/sharding (batch-dim leading)."""
+        if self.device is not None:
+            return jax.device_put(x, self.device)
+        return jnp.asarray(x)
 
     # ---------------------------------------------------------------- renderer
     def _build_render_fns(self) -> None:
@@ -202,7 +214,7 @@ class VectorEnv:
         actions = jnp.asarray(actions)
         if actions.ndim == 3:
             actions = multidiscrete_to_bitmask(actions)
-        actions = actions.astype(jnp.int32)
+        actions = self._put(actions.astype(jnp.int32))
 
         from megaverse_tpu.env import renderer_backend
 
@@ -275,7 +287,7 @@ class VectorEnv:
             rows = action_pool.astype(np.int32)
         else:
             rows = np.asarray(jax.device_get(action_pool)).astype(np.int32)
-        pool_steps = [jax.device_put(rows[k]) for k in range(rows.shape[0])]
+        pool_steps = [self._put(rows[k]) for k in range(rows.shape[0])]
         for i in range(n_steps):
             act = pool_steps[i % len(pool_steps)]
             if split:

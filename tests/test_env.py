@@ -123,3 +123,29 @@ def test_render_bucket_matches_full_table():
     bucketed, b = rollout()
     assert b_full is None and b is not None
     assert np.array_equal(full, bucketed)
+
+
+def test_sharded_batch_matches_single_device():
+    """Env batch sharded over the 8-device mesh must produce exactly the
+    results of the unsharded batch (vmapped step is SPMD over B)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    def rollout(device):
+        env = make_env(num_envs=8, seed=21, device=device)
+        frames = [np.asarray(env.reset())]
+        rng = np.random.default_rng(3)
+        rews = []
+        for _ in range(5):
+            obs, rew, done, _ = env.step(random_actions(rng, 8, 1))
+            frames.append(np.asarray(obs))
+            rews.append(np.asarray(rew))
+        return np.stack(frames), np.stack(rews)
+
+    f1, r1 = rollout(None)
+    f8, r8 = rollout(sharding)
+    assert np.array_equal(f1, f8)
+    assert np.array_equal(r1, r8)
