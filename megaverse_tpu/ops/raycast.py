@@ -274,27 +274,64 @@ def cone_hit(rays: Rays, center, rx, rz, half_h, flipped, near=C.CAMERA_NEAR):
 # Scene assembly.
 # ---------------------------------------------------------------------------
 
+# Inner-unroll chunk sizes for the grouped scans below. Compile time scales
+# with the chunk (not the table), HBM carry traffic with table/chunk: each
+# lax.scan iteration materializes the 7-plane HitCarry once, while everything
+# inside the chunk fuses in registers. Small scenes (M <= chunk) stay fully
+# unrolled with zero scan overhead.
+BOX_CHUNK = 64
+PROP_CHUNK = 16
+
+
 def _add_boxes(carry: HitCarry, rays: Rays, box_lo, box_hi, box_color, palette):
-    """Unrolled loop over the merged layout boxes [M]."""
+    """Min-carry loop over the merged layout boxes [M]; grouped scan with an
+    unrolled BOX_CHUNK-row body for large M."""
     rgb = palette[box_color]  # [M, 3] tiny gather, once per env
     m = box_lo.shape[0]
-    for i in range(m):
-        t, n = box_hit(rays, box_lo[i], box_hi[i])
-        t = jnp.where(box_color[i] > 0, t, INF)
-        carry = _select(carry, t, n, (rgb[i, 0], rgb[i, 1], rgb[i, 2]))
+
+    def add_one(carry, lo, hi, color, col):
+        t, n = box_hit(rays, lo, hi)
+        t = jnp.where(color > 0, t, INF)
+        return _select(carry, t, n, (col[0], col[1], col[2]))
+
+    if m <= BOX_CHUNK:
+        for i in range(m):
+            carry = add_one(carry, box_lo[i], box_hi[i], box_color[i], rgb[i])
+        return carry
+
+    pad = (-m) % BOX_CHUNK
+    if pad:
+        box_lo = jnp.concatenate([box_lo, jnp.zeros((pad, 3), box_lo.dtype)])
+        box_hi = jnp.concatenate([box_hi, jnp.zeros((pad, 3), box_hi.dtype)])
+        box_color = jnp.concatenate(
+            [box_color, jnp.zeros((pad,), box_color.dtype)])
+        rgb = jnp.concatenate([rgb, jnp.zeros((pad, 3), rgb.dtype)])
+    g = box_lo.shape[0] // BOX_CHUNK
+
+    def body(c, xs):
+        lo, hi, color, col = xs
+        for i in range(BOX_CHUNK):
+            c = add_one(c, lo[i], hi[i], color[i], col[i])
+        return c, None
+
+    reshape = lambda x: x.reshape((g, BOX_CHUNK) + x.shape[1:])
+    carry, _ = jax.lax.scan(
+        body, carry, (reshape(box_lo), reshape(box_hi),
+                      reshape(box_color), reshape(rgb)))
     return carry
 
 
 def _add_props(carry: HitCarry, rays: Rays, props: PropState, palette):
-    """Unrolled loop over the prop table [P]; per-slot type select."""
-    rgb = palette[props.color]  # [P, 3]
+    """Min-carry loop over the prop table [P] with per-slot type select;
+    grouped scan with an unrolled PROP_CHUNK body for large P."""
+    rgb_all = palette[props.color]  # [P, 3]
     p = props.type.shape[0]
-    for i in range(p):
-        ptype = props.type[i]
-        visible = ((props.flags[i] & PROP_FLAG_VISIBLE) != 0) & (ptype != C.PROP_NONE)
-        center = props.pos[i]
-        sc = jnp.abs(props.scale[i])
-        flipped = props.scale[i, 1] < 0
+
+    def add_one(carry, ptype, pos, scale, flags, rgb):
+        visible = ((flags & PROP_FLAG_VISIBLE) != 0) & (ptype != C.PROP_NONE)
+        center = pos
+        sc = jnp.abs(scale)
+        flipped = scale[1] < 0
 
         t_box, n_box = box_hit(rays, center - sc, center + sc)
         # sphere: radii = sc; capsule: ellipsoid with doubled y (see _BODY_SCALE)
@@ -317,8 +354,38 @@ def _add_props(carry: HitCarry, rays: Rays, props: PropState, palette):
         pick = lambda c: jnp.where(is_box, n_box[c],
                 jnp.where(is_ell, n_ell[c],
                 jnp.where(is_cyl, n_cyl[c], n_cone[c])))
-        carry = _select(carry, t, (pick(0), pick(1), pick(2)),
-                        (rgb[i, 0], rgb[i, 1], rgb[i, 2]))
+        return _select(carry, t, (pick(0), pick(1), pick(2)),
+                       (rgb[0], rgb[1], rgb[2]))
+
+    if p <= PROP_CHUNK:
+        for i in range(p):
+            carry = add_one(carry, props.type[i], props.pos[i], props.scale[i],
+                            props.flags[i], rgb_all[i])
+        return carry
+
+    pad = (-p) % PROP_CHUNK
+    ptype = props.type
+    pos, scale, flags = props.pos, props.scale, props.flags
+    if pad:
+        ptype = jnp.concatenate(
+            [ptype, jnp.full((pad,), C.PROP_NONE, ptype.dtype)])
+        pos = jnp.concatenate([pos, jnp.zeros((pad, 3), pos.dtype)])
+        scale = jnp.concatenate([scale, jnp.ones((pad, 3), scale.dtype)])
+        flags = jnp.concatenate([flags, jnp.zeros((pad,), flags.dtype)])
+        rgb_all = jnp.concatenate([rgb_all, jnp.zeros((pad, 3), rgb_all.dtype)])
+    g = ptype.shape[0] // PROP_CHUNK
+
+    def body(c, xs):
+        tpy, po, sca, fl, col = xs
+        for i in range(PROP_CHUNK):
+            c = add_one(c, tpy[i], po[i], sca[i], fl[i], col[i])
+        return c, None
+
+    reshape = lambda x: x.reshape((g, PROP_CHUNK) + x.shape[1:])
+    carry, _ = jax.lax.scan(
+        body, carry,
+        (reshape(ptype), reshape(pos), reshape(scale), reshape(flags),
+         reshape(rgb_all)))
     return carry
 
 
