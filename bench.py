@@ -67,18 +67,20 @@ def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
         pool |= np.asarray(bits, np.int32)[md[..., h]]
 
     # Warmup (compiles every program incl. the refill path; remote compiles
-    # through the dev-TPU tunnel take minutes, so warm thoroughly). Block only
-    # on the LAST checksum: the device executes dispatches in order, and each
-    # host sync is a slow round trip on tunneled dev TPUs.
+    # through the dev-TPU tunnel take minutes, so warm thoroughly).
     for _ in range(2):
         _, dones, csums = env.step_many(pool, chunk)
         jax.block_until_ready(csums[-1])
     env.flush()
 
+    # Timing fence: fetch the checksum VALUE, not just block_until_ready —
+    # on the tunneled axon platform, readiness of results whose graph
+    # contains certain custom calls can resolve before execution finishes,
+    # while a concrete scalar fetch cannot.
     t0 = time.perf_counter()
     for _ in range(chunks):
         _, dones, csums = env.step_many(pool, chunk)
-    jax.block_until_ready(csums[-1])
+    _ = int(csums[-1])
     dt = time.perf_counter() - t0
 
     return num_envs * num_agents * chunk * chunks / dt

@@ -189,7 +189,9 @@ def render_batch(scenario: Scenario, states: EnvState, backend: str | None = Non
     backend = backend or renderer_backend()
     if bucket is not None:
         mb = max(1, min(int(bucket[0]), states.box_color.shape[1]))
-        pb = max(1, min(int(bucket[1]), states.props.type.shape[1]))
+        # pb == 0 is allowed: a scenario whose layouts never contain props
+        # (Empty) renders zero prop rows.
+        pb = max(0, min(int(bucket[1]), states.props.type.shape[1]))
         states = states.replace(
             box_lo=states.box_lo[:, :mb],
             box_hi=states.box_hi[:, :mb],
@@ -199,28 +201,36 @@ def render_batch(scenario: Scenario, states: EnvState, backend: str | None = Non
     remaining = jnp.maximum(
         0.0, (states.episode_len_sec - states.episode_sec) / states.episode_len_sec
     )  # [B]
-    cams = jax.vmap(lambda s, tf: RP.build_cams(cfg, s.agents, tf))(states, remaining)
-    prims = jax.vmap(
-        lambda s: RP.build_prim_table(
-            cfg, s.box_lo, s.box_hi, s.box_color, s.props, s.agents
-        )
-    )(states)
+    # Single-agent first-person views can never see the own body/eyes (camera
+    # inside, inside hits culled) — drop those rows from the table.
+    include_agents = cfg.num_agents > 1
+
+    def make_prims(states):
+        return jax.vmap(
+            lambda s: RP.build_prim_table(
+                cfg, s.box_lo, s.box_hi, s.box_color, s.props, s.agents,
+                include_agent_rows=include_agents,
+            )
+        )(states)
+
     if backend == "pallas":
-        packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width)
+        cams = jax.vmap(
+            lambda s, tf: RP.build_cams(cfg, s.agents, tf))(states, remaining)
+        packed = RP.render_packed(cams, make_prims(states),
+                                  cfg.obs_height, cfg.obs_width)
     elif backend == "unroll":
         # Trace-time-unrolled XLA renderer: fastest for small scenes; compile
         # time grows with primitive count (use for benchmark scenarios).
-        rgb = jax.vmap(
-            lambda s, tf: R.render(cfg, s.box_lo, s.box_hi, s.box_color,
-                                   s.props, s.agents, tf).astype(jnp.int32)
+        packed = jax.vmap(
+            lambda s, tf: R.render_packed(cfg, s.box_lo, s.box_hi, s.box_color,
+                                          s.props, s.agents, tf)
         )(states, remaining)
-        packed = (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
     else:
         # XLA fallback: rolled scan over the same table.
         def one(s, prim, tf):
             return R.render_table_packed(cfg, s.agents, prim, tf)
 
-        packed = jax.vmap(one)(states, prims, remaining)
+        packed = jax.vmap(one)(states, make_prims(states), remaining)
     if fmt == "packed":
         return packed
     return RP.unpack_rgb(packed)

@@ -103,7 +103,12 @@ def camera_rays(cfg: EnvConfig, agents: AgentState):
 
 
 class Rays(NamedTuple):
-    """Per-agent rays with precomputed reciprocals. All [A, H, W]."""
+    """Per-agent rays with precomputed reciprocals. All [A, H, W].
+
+    oxix/oyiy/oziz = origin * reciprocal, hoisted out of the per-primitive
+    slab tests: each AABB row then costs one FMA per slab bound instead of a
+    subtract + multiply (the renderer is VPU-op-bound, so per-row ops are the
+    throughput currency)."""
     ox: jax.Array  # origin, broadcastable [A, 1, 1]
     oy: jax.Array
     oz: jax.Array
@@ -113,17 +118,28 @@ class Rays(NamedTuple):
     ix: jax.Array  # 1 / d
     iy: jax.Array
     iz: jax.Array
+    oxix: jax.Array  # o * (1 / d)
+    oyiy: jax.Array
+    oziz: jax.Array
+
+
+def rays_from(o, d) -> Rays:
+    """Build a Rays bundle from origin / direction components."""
+    eps = 1e-12
+    safe = lambda v: jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
+    ix, iy, iz = 1.0 / safe(d[0]), 1.0 / safe(d[1]), 1.0 / safe(d[2])
+    return Rays(
+        ox=o[0], oy=o[1], oz=o[2], dx=d[0], dy=d[1], dz=d[2],
+        ix=ix, iy=iy, iz=iz,
+        oxix=o[0] * ix, oyiy=o[1] * iy, oziz=o[2] * iz,
+    )
 
 
 def make_rays(cfg: EnvConfig, agents: AgentState) -> Rays:
     eye, (dx, dy, dz) = camera_rays(cfg, agents)
-    eps = 1e-12
-    safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
-    dxs, dys, dzs = safe(dx), safe(dy), safe(dz)
-    return Rays(
-        ox=eye[:, 0, None, None], oy=eye[:, 1, None, None], oz=eye[:, 2, None, None],
-        dx=dx, dy=dy, dz=dz,
-        ix=1.0 / dxs, iy=1.0 / dys, iz=1.0 / dzs,
+    return rays_from(
+        (eye[:, 0, None, None], eye[:, 1, None, None], eye[:, 2, None, None]),
+        (dx, dy, dz),
     )
 
 
@@ -135,12 +151,12 @@ def make_rays(cfg: EnvConfig, agents: AgentState) -> Rays:
 
 def box_hit(rays: Rays, lo, hi, near=C.CAMERA_NEAR):
     """Slab test; lo/hi are length-3 (scalars per axis). Returns (t, n)."""
-    t1x = (lo[0] - rays.ox) * rays.ix
-    t2x = (hi[0] - rays.ox) * rays.ix
-    t1y = (lo[1] - rays.oy) * rays.iy
-    t2y = (hi[1] - rays.oy) * rays.iy
-    t1z = (lo[2] - rays.oz) * rays.iz
-    t2z = (hi[2] - rays.oz) * rays.iz
+    t1x = lo[0] * rays.ix - rays.oxix
+    t2x = hi[0] * rays.ix - rays.oxix
+    t1y = lo[1] * rays.iy - rays.oyiy
+    t2y = hi[1] * rays.iy - rays.oyiy
+    t1z = lo[2] * rays.iz - rays.oziz
+    t2z = hi[2] * rays.iz - rays.oziz
     tminx = jnp.minimum(t1x, t2x)
     tminy = jnp.minimum(t1y, t2y)
     tminz = jnp.minimum(t1z, t2z)
@@ -393,9 +409,13 @@ def _add_agents(carry: HitCarry, rays: Rays, agents: AgentState, palette):
     """Other agents' bodies (capsule->ellipsoid) + yaw/pitch-rotated eye boxes.
 
     Own body/eyes cull automatically: the camera is inside them and inside
-    hits are discarded (matching rasterizer backface culling).
+    hits are discarded (matching rasterizer backface culling). With a single
+    agent there is therefore nothing to draw at all — skip the rows entirely
+    (the renderer is VPU-op-bound; the eye box is the most expensive row).
     """
     num_agents = agents.pos.shape[0]
+    if num_agents == 1:
+        return carry
     agent_colors = np.asarray(C.AGENT_COLORS)
     eye_rgb = palette[C.COLOR_IDX["AGENT_EYES"]]
 
@@ -422,12 +442,7 @@ def _add_agents(carry: HitCarry, rays: Rays, agents: AgentState, palette):
         dlz1 = syj * rays.dx + cyj * rays.dz
         dly = cpj * rays.dy + spj * dlz1
         dlz = -spj * rays.dy + cpj * dlz1
-        eps = 1e-12
-        safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
-        local = Rays(
-            ox=lx, oy=ly, oz=lz, dx=dlx, dy=dly, dz=dlz,
-            ix=1.0 / safe(dlx), iy=1.0 / safe(dly), iz=1.0 / safe(dlz),
-        )
+        local = rays_from((lx, ly, lz), (dlx, dly, dlz))
         t, (nlx, nly, nlz) = box_hit(local, _EYE_OFFSET - _EYE_HALF, _EYE_OFFSET + _EYE_HALF)
         # rotate normal back: R_y(y) R_x(p)
         wy = cpj * nly - spj * nlz
@@ -438,9 +453,31 @@ def _add_agents(carry: HitCarry, rays: Rays, agents: AgentState, palette):
     return carry
 
 
-def shade(rays: Rays, carry: HitCarry) -> jax.Array:
+def pow_shininess(x: jax.Array) -> jax.Array:
+    """x ** LIGHT_SHININESS by repeated squaring (integer exponent).
+
+    Replaces exp(s * log(x)): two VPU transcendentals per pixel become ~11
+    multiplies. x must be >= 0; underflow to 0 for small bases is fine (the
+    specular term is visually zero there anyway)."""
+    n = int(C.LIGHT_SHININESS)
+    acc = None
+    sq = x
+    while n:
+        if n & 1:
+            acc = sq if acc is None else acc * sq
+        n >>= 1
+        if n:
+            sq = sq * sq
+    return acc
+
+
+def shade_planes(rays: Rays, carry: HitCarry):
     """Blinn-Phong, single light (v4r addLight((0,4,2), 0.66)), no attenuation.
-    Returns float RGB [A, H, W, 3] in [0, 1]."""
+
+    Returns three separate float planes (r, g, b) [A, H, W] in [0, 1]. Keeping
+    channels as planes matters: stacking to [..., 3] materializes a 5-D tensor
+    through HBM before packing, and HBM round trips dominate on this device.
+    """
     t = carry.t
     px = rays.ox + t * rays.dx
     py = rays.oy + t * rays.dy
@@ -455,7 +492,7 @@ def shade(rays: Rays, carry: HitCarry) -> jax.Array:
     hx, hy, hz = lx - rays.dx, ly - rays.dy, lz - rays.dz
     inv_h = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-12)
     ndh = jnp.maximum(carry.nx * hx + carry.ny * hy + carry.nz * hz, 0.0) * inv_h
-    spec = jnp.exp(C.LIGHT_SHININESS * jnp.log(jnp.maximum(ndh, 1e-6)))
+    spec = pow_shininess(ndh)
 
     lc = C.LIGHT_COLOR[0]  # grey light: same coefficient for all channels
     diff = 0.3 + ndl * lc
@@ -464,15 +501,21 @@ def shade(rays: Rays, carry: HitCarry) -> jax.Array:
     out = []
     for albedo, sky in ((carry.r, C.SKY_COLOR[0]), (carry.g, C.SKY_COLOR[1]), (carry.b, C.SKY_COLOR[2])):
         col = albedo * diff + sp
-        out.append(jnp.where(miss, sky, col))
-    return jnp.clip(jnp.stack(out, axis=-1), 0.0, 1.0)
+        out.append(jnp.clip(jnp.where(miss, sky, col), 0.0, 1.0))
+    return out[0], out[1], out[2]
 
 
-def _hud_overlay(cfg: EnvConfig, col: jax.Array, time_fraction: jax.Array) -> jax.Array:
+def shade(rays: Rays, carry: HitCarry) -> jax.Array:
+    """shade_planes stacked to float RGB [A, H, W, 3] (legacy/viewer use)."""
+    r, g, b = shade_planes(rays, carry)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _hud_planes(cfg: EnvConfig, planes, time_fraction):
     """Remaining-time bar, camera-space box at (0,-0.131,-0.2), half extents
     (0.24*frac, 0.0015, 0.001) (scenario_default.hpp:140-145, 164-169).
-    Composited in 2D; nothing except own (inside-culled) geometry can sit
-    closer than 0.2 m."""
+    Composited in 2D on separate channel planes; nothing except own
+    (inside-culled) geometry can sit closer than 0.2 m."""
     w, h = cfg.obs_width, cfg.obs_height
     tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
     tan_v = tan_h * h / w
@@ -483,16 +526,26 @@ def _hud_overlay(cfg: EnvConfig, col: jax.Array, time_fraction: jax.Array) -> ja
     bar_half_v = 0.0015 / (0.2 * tan_v)
     in_u = jnp.abs(jnp.asarray(u))[None, None, :] <= jnp.reshape(bar_half_u, (-1, 1, 1))
     in_v = jnp.asarray(np.abs(v - bar_v) <= bar_half_v)[None, :, None]
-    bar_mask = (in_u & in_v)[..., None]  # [A?, h, w, 1]
-    bar_color = jnp.asarray(C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0]))
-    return jnp.where(bar_mask, bar_color, col)
+    bar_mask = in_u & in_v  # [A?, h, w]
+    bar_color = C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0])
+    return tuple(
+        jnp.where(bar_mask, np.float32(bar_color[c]), planes[c]) for c in range(3)
+    )
 
 
-def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
-                 time_fraction: jax.Array) -> jax.Array:
+def pack_planes(r, g, b) -> jax.Array:
+    """Three float planes in [0,1] -> packed RGB int32 (bit-identical to
+    stacking to uint8 then shifting, without the [..., 3] HBM round trip)."""
+    to8 = lambda c: (c * 255.0 + 0.5).astype(jnp.int32)
+    return (to8(r) << 16) | (to8(g) << 8) | to8(b)
+
+
+def _table_planes(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
+                  time_fraction: jax.Array):
     """Rolled-loop renderer over a unified primitive table [M, 16] (see
     ops/raycast_pallas.py for the row encoding). Compile time is O(1) in M —
-    this is the CPU/test backend matching the Pallas kernel's semantics."""
+    this is the CPU/test backend matching the Pallas kernel's semantics.
+    Returns (r, g, b) float planes [A, H, W]."""
     from megaverse_tpu.ops import raycast_pallas as RP
 
     rays = make_rays(cfg, agents)
@@ -513,10 +566,7 @@ def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
         dlz1 = syj * rays.dx + cyj * rays.dz
         dly = cpj * rays.dy + spj * dlz1
         dlz = -spj * rays.dy + cpj * dlz1
-        eps = 1e-12
-        safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
-        local = Rays(ox=lx, oy=ly, oz=lz, dx=dlx, dy=dly, dz=dlz,
-                     ix=1.0 / safe(dlx), iy=1.0 / safe(dly), iz=1.0 / safe(dlz))
+        local = rays_from((lx, ly, lz), (dlx, dly, dlz))
         t, (nlx, nly, nlz) = box_hit(
             local, _EYE_OFFSET - _EYE_HALF, _EYE_OFFSET + _EYE_HALF)
         wy = cpj * nly - spj * nlz
@@ -535,10 +585,7 @@ def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
         lz = syj * ox + cyj * oz
         dlx = cyj * rays.dx - syj * rays.dz
         dlz = syj * rays.dx + cyj * rays.dz
-        eps = 1e-12
-        safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
-        local = Rays(ox=lx, oy=oy, oz=lz, dx=dlx, dy=rays.dy, dz=dlz,
-                     ix=1.0 / safe(dlx), iy=rays.iy, iz=1.0 / safe(dlz))
+        local = rays_from((lx, oy, lz), (dlx, rays.dy, dlz))
         t, (nlx, nly, nlz) = box_hit(local, -half, half)
         wx = cyj * nlx + syj * nlz
         wz = -syj * nlx + cyj * nlz
@@ -563,19 +610,27 @@ def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
 
     init = HitCarry(t=zero + INF, nx=zero, ny=zero, nz=zero, r=zero, g=zero, b=zero)
     carry, _ = jax.lax.scan(body, init, prims)
-    col = shade(rays, carry)
-    col = _hud_overlay(cfg, col, time_fraction)
+    planes = shade_planes(rays, carry)
+    return _hud_planes(cfg, planes, time_fraction)
+
+
+def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
+                 time_fraction: jax.Array) -> jax.Array:
+    """Table renderer emitting uint8 [A, H, W, 3] (viewer/legacy use)."""
+    r, g, b = _table_planes(cfg, agents, prims, time_fraction)
+    col = jnp.stack([r, g, b], axis=-1)
     return (col * 255.0 + 0.5).astype(jnp.uint8)
 
 
 def render_table_packed(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
                         time_fraction: jax.Array) -> jax.Array:
-    """render_table but emitting packed int32 RGB (matches the Pallas kernel)."""
-    rgb = render_table(cfg, agents, prims, time_fraction).astype(jnp.int32)
-    return (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
+    """render_table but emitting packed int32 RGB (matches the Pallas kernel)
+    with no [..., 3] intermediate."""
+    r, g, b = _table_planes(cfg, agents, prims, time_fraction)
+    return pack_planes(r, g, b)
 
 
-def render(
+def _render_planes(
     cfg: EnvConfig,
     box_lo: jax.Array,
     box_hi: jax.Array,
@@ -583,12 +638,11 @@ def render(
     props: PropState,
     agents: AgentState,
     time_fraction: jax.Array,
-) -> jax.Array:
-    """Render all agent views of one env -> uint8 [A, H, W, 3].
-
-    Trace-time-unrolled primitive loop: fastest XLA form for SMALL scenes
-    (compile time is linear in primitive count; use render_table or the
-    Pallas kernel for large scenes)."""
+):
+    """Trace-time-unrolled primitive loop over one env's scene. Returns
+    (r, g, b) float planes [A, H, W] incl. shading and HUD. Fastest XLA form
+    for SMALL scenes (compile time is linear in primitive count; use
+    _table_planes or the Pallas kernel for large scenes)."""
     palette = jnp.asarray(C.PALETTE)
     rays = make_rays(cfg, agents)
 
@@ -602,24 +656,38 @@ def render(
     carry = _add_props(carry, rays, props, palette)
     carry = _add_agents(carry, rays, agents, palette)
 
-    col = shade(rays, carry)
+    planes = shade_planes(rays, carry)
+    return _hud_planes(cfg, planes, time_fraction)
 
-    # HUD: remaining-time bar, camera-space box at (0,-0.131,-0.2), half
-    # extents (0.24 * frac, 0.0015, 0.001) (scenario_default.hpp:140-145,
-    # 164-169). Composited in 2D; nothing except own (inside-culled) geometry
-    # can sit closer than 0.2 m.
-    w, h = cfg.obs_width, cfg.obs_height
-    tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
-    tan_v = tan_h * h / w
-    u = (np.arange(w, dtype=np.float32) + 0.5) / w * 2.0 - 1.0
-    v = 1.0 - (np.arange(h, dtype=np.float32) + 0.5) / h * 2.0
-    bar_half_u = 0.24 * time_fraction / (0.2 * tan_h)     # [()] or [A]
-    bar_v = -0.131 / (0.2 * tan_v)
-    bar_half_v = 0.0015 / (0.2 * tan_v)
-    in_u = jnp.abs(jnp.asarray(u))[None, None, :] <= jnp.reshape(bar_half_u, (-1, 1, 1))
-    in_v = jnp.asarray(np.abs(v - bar_v) <= bar_half_v)[None, :, None]
-    bar_mask = (in_u & in_v)[..., None]  # [A?, h, w, 1]
-    bar_color = jnp.asarray(C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0]))
-    col = jnp.where(bar_mask, bar_color, col)
 
+def render(
+    cfg: EnvConfig,
+    box_lo: jax.Array,
+    box_hi: jax.Array,
+    box_color: jax.Array,
+    props: PropState,
+    agents: AgentState,
+    time_fraction: jax.Array,
+) -> jax.Array:
+    """Render all agent views of one env -> uint8 [A, H, W, 3]."""
+    r, g, b = _render_planes(cfg, box_lo, box_hi, box_color, props, agents,
+                             time_fraction)
+    col = jnp.stack([r, g, b], axis=-1)
     return (col * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def render_packed(
+    cfg: EnvConfig,
+    box_lo: jax.Array,
+    box_hi: jax.Array,
+    box_color: jax.Array,
+    props: PropState,
+    agents: AgentState,
+    time_fraction: jax.Array,
+) -> jax.Array:
+    """render() emitting packed int32 RGB [A, H, W] directly from the channel
+    planes — no [..., 3] tensor ever materializes (HBM round trips on the
+    full frame batch dominate render cost)."""
+    r, g, b = _render_planes(cfg, box_lo, box_hi, box_color, props, agents,
+                             time_fraction)
+    return pack_planes(r, g, b)

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from megaverse_tpu import constants as C
+from megaverse_tpu.ops.raycast import pow_shininess
 from megaverse_tpu.types import AgentState, EnvConfig, PropState, PROP_FLAG_VISIBLE
 
 INF = 1e30
@@ -94,13 +95,17 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
     near = np.float32(C.CAMERA_NEAR)
 
     # ---- intersection routines (share the ray tile via closure) ----
-    def aabb(lox, loy, loz, hix, hiy, hiz, ox, oy, oz, rdx, rdy, rdz, rix, riy, riz):
-        t1x = (lox - ox) * rix
-        t2x = (hix - ox) * rix
-        t1y = (loy - oy) * riy
-        t2y = (hiy - oy) * riy
-        t1z = (loz - oz) * riz
-        t2z = (hiz - oz) * riz
+    # Slab tests take the hoisted o*i products (ox·rix etc. computed once per
+    # ray frame, not per row) — mirrors ops/raycast.py box_hit exactly so the
+    # backends stay arithmetically identical.
+    def aabb(lox, loy, loz, hix, hiy, hiz, oxix, oyiy, oziz,
+             rdx, rdy, rdz, rix, riy, riz):
+        t1x = lox * rix - oxix
+        t2x = hix * rix - oxix
+        t1y = loy * riy - oyiy
+        t2y = hiy * riy - oyiy
+        t1z = loz * riz - oziz
+        t2z = hiz * riz - oziz
         tminx = jnp.minimum(t1x, t2x)
         tminy = jnp.minimum(t1y, t2y)
         tminz = jnp.minimum(t1z, t2z)
@@ -116,8 +121,13 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
         nz = jnp.where(is_x | is_y, 0.0, -jnp.sign(rdz))
         return t, nx, ny, nz
 
+    exix = ex * ix
+    eyiy = ey * iy
+    eziz = ez * iz
+
     def prim_aabb(a0, a1, a2, b0, b1, b2):
-        return aabb(a0, a1, a2, b0, b1, b2, ex, ey, ez, dx, dy, dz, ix, iy, iz)
+        return aabb(a0, a1, a2, b0, b1, b2, exix, eyiy, eziz,
+                    dx, dy, dz, ix, iy, iz)
 
     def prim_ellipsoid(cx0, cy0, cz0, rx, ry, rz):
         irx, iry, irz = 1.0 / rx, 1.0 / ry, 1.0 / rz
@@ -238,7 +248,7 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
         t, nlx, nly, nlz = aabb(
             _EYE_OFFSET[0] - _EYE_HALF[0], _EYE_OFFSET[1] - _EYE_HALF[1], _EYE_OFFSET[2] - _EYE_HALF[2],
             _EYE_OFFSET[0] + _EYE_HALF[0], _EYE_OFFSET[1] + _EYE_HALF[1], _EYE_OFFSET[2] + _EYE_HALF[2],
-            lx, ly, lz, dlx, dly, dlz, rix, riy, riz,
+            lx * rix, ly * riy, lz * riz, dlx, dly, dlz, rix, riy, riz,
         )
         wy = cpj * nly - spj * nlz
         wz1 = spj * nly + cpj * nlz
@@ -258,7 +268,7 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
         riz = 1.0 / jnp.where(jnp.abs(dlz) < eps2, eps2, dlz)
         t, nlx, nly, nlz = aabb(
             -hx, -hy, -hz, hx, hy, hz,
-            lx, oy, lz, dlx, dy, dlz, rix, iy, riz,
+            lx * rix, oy * iy, lz * riz, dlx, dy, dlz, rix, iy, riz,
         )
         wx = cyj * nlx + syj * nlz
         wz = -syj * nlx + cyj * nlz
@@ -319,7 +329,7 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
     hx, hy, hz = lx - dx, ly - dy, lz - dz
     inv_h = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-12)
     ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0) * inv_h
-    spec = jnp.exp(C.LIGHT_SHININESS * jnp.log(jnp.maximum(ndh, 1e-6)))
+    spec = pow_shininess(ndh)
 
     lc = np.float32(C.LIGHT_COLOR[0])
     diff = 0.3 + ndl * lc
@@ -381,8 +391,14 @@ def build_prim_table(
     box_color: jax.Array,
     props: PropState,
     agents: AgentState,
+    include_agent_rows: bool = True,
 ) -> jax.Array:
-    """Unified primitive table [M_total, 16] for one env."""
+    """Unified primitive table [M_total, 16] for one env.
+
+    include_agent_rows=False drops the agent body/eye rows: for first-person
+    rendering with a single agent they can never be visible (the camera sits
+    inside both and inside hits are culled), so the renderer skips them.
+    Overview/hires cameras must pass True."""
     palette = jnp.asarray(C.PALETTE, jnp.float32)
 
     # Layout boxes.
@@ -427,6 +443,8 @@ def build_prim_table(
          jnp.zeros((p, 3), jnp.float32)], axis=1)
 
     # Agent bodies + eye boxes.
+    if not include_agent_rows:
+        return jnp.concatenate([rows_box, rows_prop], axis=0)
     num_agents = agents.pos.shape[0]
     body_c = agents.pos + jnp.asarray(
         [0.0, C.AGENT_BODY_OFFSET_Y + 0.09, 0.0], jnp.float32)

@@ -164,12 +164,28 @@ class VectorEnv:
                 self._bucket = None
                 self._build_render_fns()
             return
-        # render_batch clips the bucket to the table capacities. Quantum 4
-        # keeps tiny scenes tiny (Empty: 1 box) while the 25% headroom +
-        # high-water monotonicity keep recompiles rare for big ones.
+        # render_batch clips the bucket to the table capacities. The renderer
+        # is VPU-op-bound per table row, so tiny scenes use a fine quantum
+        # (Empty: 1 box -> 2 rows, 0 props -> 0 rows); past one chunk the
+        # quantum snaps to the renderer chunk size so bucket growth can
+        # trigger at most a handful of recompiles ever (each remote compile
+        # through a dev-TPU tunnel costs minutes — fine-grained high-water
+        # creep made large scenes uncompilable in practice).
+        from megaverse_tpu.ops.raycast import BOX_CHUNK, PROP_CHUNK
+
         roundup = lambda n, q: ((max(int(n), 1) + q - 1) // q) * q
-        mb = roundup(self._hw_boxes * 1.25, 4)
-        pb = roundup(self._hw_props * 1.25, 4)
+
+        def quantize(n, chunk):
+            if n == 0:
+                return 0
+            if n <= 8:
+                return roundup(n, 2)
+            if n <= chunk:
+                return roundup(n, 8)
+            return roundup(n, chunk)
+
+        mb = max(1, quantize(self._hw_boxes * 1.25, BOX_CHUNK))
+        pb = quantize(self._hw_props * 1.25, PROP_CHUNK)
         new = (mb, pb)
         if self._bucket is None or mb > self._bucket[0] or pb > self._bucket[1]:
             self._bucket = new
@@ -242,10 +258,13 @@ class VectorEnv:
         """Run `n_steps` env steps back-to-back (throughput path).
 
         `action_pool` is a device array [K, B, A] of int32 bitmasks; step i
-        uses pool[i % K]. Returns (last_obs, dones [n, B], checksums [n]).
-        Every step's observation tensor is materialized; checksums (full-tensor
-        sums — strided u8 slicing relayouts catastrophically on TPU) stand in
-        for shipping frames to the host.
+        uses pool[i % K]. Returns (last_obs, dones [n, B], checksums) where
+        checksums is a non-empty list whose LAST element depends on the whole
+        chunk (block on it to force execution). Every step's observation
+        tensor is materialized on device (it is a program output / scan
+        carry); the checksum is computed once per chunk — re-reading the full
+        frame batch for a per-step sum costs more HBM traffic than rendering
+        it.
 
         Two execution modes:
         - default: a Python loop of single jitted step dispatches. Dispatches
@@ -273,12 +292,13 @@ class VectorEnv:
         if not split and not hasattr(self, "_chunk_fused"):
             def fused(state, next_scenes, action, shaping, pending):
                 res = self._step_render(state, next_scenes, action, shaping)
-                return (res.state, res.obs, res.done,
-                        jnp.sum(res.obs, dtype=jnp.int32), pending | res.done)
+                return res.state, res.obs, res.done, pending | res.done
 
             self._chunk_fused = jax.jit(fused)
+        if not hasattr(self, "_obs_sum"):
+            self._obs_sum = jax.jit(lambda o: jnp.sum(o, dtype=jnp.int32))
 
-        dones, csums = [], []
+        dones = []
         obs = None
         # Pre-split the action pool on the HOST and upload each row once:
         # per-step device indexing would add a dispatch (and a distinct
@@ -295,19 +315,20 @@ class VectorEnv:
                 # dispatch (high per-execution latency on tunneled dev TPUs)
                 res = self._vstep_sim(self.state, self.next_scenes, act, self.shaping)
                 self.state = res.state
-                obs, csum = self._vrender_sum(res.state)
+                obs = self._vrender(res.state)
                 done = res.done
                 self._accumulate_dones(done)
             else:
                 pending = (self._pending_dones if self._pending_dones is not None
                            else jnp.zeros((self.num_envs,), bool))
-                self.state, obs, done, csum, pending = self._chunk_fused(
+                self.state, obs, done, pending = self._chunk_fused(
                     self.state, self.next_scenes, act, self.shaping, pending)
                 self._pending_dones = pending
             dones.append(done)
-            csums.append(csum)
         self._steps_since_poll = 0  # refilled at next step_many/flush
-        return obs, dones, csums
+        # One checksum per chunk; it depends on the final obs, whose chain
+        # covers every step in the chunk.
+        return obs, dones, [self._obs_sum(obs)]
 
     def _step_many_scan(self, pool: jax.Array, n_steps: int):
         if not hasattr(self, "_scan_fns"):
@@ -320,8 +341,7 @@ class VectorEnv:
                 def body(carry, i):
                     state, _ = carry
                     res = vstep(state, next_scenes, pool[i % pool.shape[0]], shaping)
-                    csum = jnp.sum(res.obs, dtype=jnp.int32)
-                    return (res.state, res.obs), (res.done, csum)
+                    return (res.state, res.obs), res.done
 
                 shape = (state.done.shape[0], self.num_agents_per_env,
                          self.scenario.cfg.obs_height, self.scenario.cfg.obs_width)
@@ -329,18 +349,22 @@ class VectorEnv:
                     obs0 = jnp.zeros(shape, jnp.int32)
                 else:
                     obs0 = jnp.zeros(shape + (3,), jnp.uint8)
-                (state, last_obs), (dones, csums) = jax.lax.scan(
+                (state, last_obs), dones = jax.lax.scan(
                     body, (state, obs0), jnp.arange(n_steps))
-                return state, dones, csums, last_obs
+                # One checksum per chunk (the obs carry already forces every
+                # frame to materialize; a per-step full-frame re-read for a
+                # sum would double the obs HBM traffic).
+                csum = jnp.sum(last_obs, dtype=jnp.int32)
+                return state, dones, csum, last_obs
 
             self._scan_fns[key] = jax.jit(run)
 
-        self.state, dones, csums, last_obs = self._scan_fns[key](
+        self.state, dones, csum, last_obs = self._scan_fns[key](
             self.state, self.next_scenes, pool, self.shaping
         )
         self._accumulate_dones(jnp.any(dones, axis=0))
         self._steps_since_poll = 0
-        return last_obs, dones, csums
+        return last_obs, dones, [csum]
 
     def flush(self) -> None:
         """Force buffer refill bookkeeping (call before relying on layouts)."""
