@@ -1,0 +1,101 @@
+"""Renderer invariants across backends and output formats.
+
+The product render path emits packed int32 RGB straight from separate channel
+planes (ops/raycast.py pack_planes); these tests pin that every route to a
+pixel — packed vs stacked uint8, unroll vs rolled table scan, single- vs
+multi-agent tables — produces identical bytes, and that the
+single-agent own-body row skip never changes an image (the camera sits inside
+the body/eye volumes, whose inside hits are culled).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import megaverse_tpu.constants as C
+from megaverse_tpu.env import render_batch, render_custom_camera
+from megaverse_tpu.ops import raycast as R
+from megaverse_tpu.ops import raycast_pallas as RP
+from megaverse_tpu.vector_env import VectorEnv
+
+
+def _env_state(name="Collect", num_envs=2, num_agents=2, seed=7, steps=3):
+    env = VectorEnv(name, num_envs=num_envs, num_agents_per_env=num_agents,
+                    seed=seed, render=False)
+    env.reset()
+    rng = np.random.default_rng(0)
+    for _ in range(steps):
+        md = np.stack([rng.integers(0, s, size=(num_envs, num_agents))
+                       for s in C.ACTION_SPACE_SIZES], axis=-1)
+        env.step(md)
+    return env
+
+
+def test_packed_equals_stacked_rgb():
+    env = _env_state()
+    st = env.state
+    for backend in ("unroll", "xla"):
+        packed = np.asarray(render_batch(env.scenario, st, backend=backend,
+                                         fmt="packed"))
+        rgb = np.asarray(render_batch(env.scenario, st, backend=backend,
+                                      fmt="rgb"))
+        unpacked = np.stack(
+            [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF],
+            axis=-1).astype(np.uint8)
+        np.testing.assert_array_equal(unpacked, rgb)
+
+
+def test_unroll_equals_table_backend():
+    env = _env_state()
+    st = env.state
+    u = np.asarray(render_batch(env.scenario, st, backend="unroll", fmt="packed"))
+    x = np.asarray(render_batch(env.scenario, st, backend="xla", fmt="packed"))
+    np.testing.assert_array_equal(u, x)
+
+
+def test_single_agent_row_skip_is_invisible():
+    """A==1 drops the own body/eye rows; the image must match a table that
+    keeps them (they are always inside-culled for the own camera)."""
+    env = _env_state(num_agents=1)
+    st = env.state
+    cfg = env.scenario.cfg
+    remaining = jnp.maximum(
+        0.0, (st.episode_len_sec - st.episode_sec) / st.episode_len_sec)
+
+    def packed_with_agents(keep):
+        prims = jax.vmap(
+            lambda s: RP.build_prim_table(
+                cfg, s.box_lo, s.box_hi, s.box_color, s.props, s.agents,
+                include_agent_rows=keep)
+        )(st)
+        return np.asarray(jax.vmap(
+            lambda s, p, tf: R.render_table_packed(cfg, s.agents, p, tf)
+        )(st, prims, remaining))
+
+    np.testing.assert_array_equal(packed_with_agents(True),
+                                  packed_with_agents(False))
+
+
+def test_overview_camera_shows_agent_body():
+    """The overview/hires camera keeps agent rows: an outside viewpoint looking
+    at the agent must see body pixels that vanish if agent rows are dropped."""
+    env = _env_state(name="Empty", num_agents=1, steps=0)
+    st1 = jax.tree.map(lambda x: x[0], env.state)
+    pos = np.asarray(st1.agents.pos)[0]
+    eye = pos + np.asarray([0.0, 2.0, 4.0])
+    img = np.asarray(render_custom_camera(
+        env.scenario, st1, eye, yaw=0.0, pitch=-0.45, width=128, height=72))
+    assert img.shape == (72, 128, 3)
+    agent_rgb = (np.asarray(C.PALETTE[C.AGENT_COLORS[0]]) * 255).astype(int)
+    # some pixels approximate the agent body palette color under shading
+    close = (np.abs(img.astype(int) - agent_rgb).sum(-1) < 180)
+    assert close.any(), "agent body not visible from overview camera"
+
+
+def test_pow_shininess_matches_float_pow():
+    x = jnp.linspace(0.0, 1.0, 1000)
+    got = np.asarray(R.pow_shininess(x))
+    want = np.asarray(x, np.float64) ** C.LIGHT_SHININESS
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-30)
