@@ -187,17 +187,45 @@ def render_batch(scenario: Scenario, states: EnvState, backend: str | None = Non
 
     cfg = scenario.cfg
     backend = backend or renderer_backend()
+    segments = cfg.prop_segments
     if bucket is not None:
         mb = max(1, min(int(bucket[0]), states.box_color.shape[1]))
-        # pb == 0 is allowed: a scenario whose layouts never contain props
-        # (Empty) renders zero prop rows.
-        pb = max(0, min(int(bucket[1]), states.props.type.shape[1]))
-        states = states.replace(
-            box_lo=states.box_lo[:, :mb],
-            box_hi=states.box_hi[:, :mb],
-            box_color=states.box_color[:, :mb],
-            props=jax.tree.map(lambda x: x[:, :pb], states.props),
-        )
+        pb = bucket[1]
+        if segments:
+            # Per-segment live-prefix slicing: each typed region keeps only
+            # its bucketed prefix, and the layout is rebuilt with the new
+            # (compacted) starts.
+            counts = [min(int(k), cap) for k, (_, _, cap) in zip(pb, segments)]
+            keep = [(ptype, start, k)
+                    for (ptype, start, cap), k in zip(segments, counts) if k]
+            if keep:
+                def slice_props(x):
+                    return jnp.concatenate(
+                        [x[:, s:s + k] for _, s, k in keep], axis=1)
+                props = jax.tree.map(slice_props, states.props)
+            else:
+                props = jax.tree.map(lambda x: x[:, :0], states.props)
+            new_layout, cursor = [], 0
+            for ptype, _, k in keep:
+                new_layout.append((ptype, cursor, k))
+                cursor += k
+            segments = tuple(new_layout)
+            states = states.replace(
+                box_lo=states.box_lo[:, :mb],
+                box_hi=states.box_hi[:, :mb],
+                box_color=states.box_color[:, :mb],
+                props=props,
+            )
+        else:
+            # pb == 0 is allowed: a scenario whose layouts never contain
+            # props (Empty) renders zero prop rows.
+            pb = max(0, min(int(pb), states.props.type.shape[1]))
+            states = states.replace(
+                box_lo=states.box_lo[:, :mb],
+                box_hi=states.box_hi[:, :mb],
+                box_color=states.box_color[:, :mb],
+                props=jax.tree.map(lambda x: x[:, :pb], states.props),
+            )
     remaining = jnp.maximum(
         0.0, (states.episode_len_sec - states.episode_sec) / states.episode_len_sec
     )  # [B]
@@ -223,7 +251,8 @@ def render_batch(scenario: Scenario, states: EnvState, backend: str | None = Non
         # time grows with primitive count (use for benchmark scenarios).
         packed = jax.vmap(
             lambda s, tf: R.render_packed(cfg, s.box_lo, s.box_hi, s.box_color,
-                                          s.props, s.agents, tf)
+                                          s.props, s.agents, tf,
+                                          segments=segments)
         )(states, remaining)
     else:
         # XLA fallback: rolled scan over the same table.

@@ -337,9 +337,101 @@ def _add_boxes(carry: HitCarry, rays: Rays, box_lo, box_hi, box_color, palette):
     return carry
 
 
-def _add_props(carry: HitCarry, rays: Rays, props: PropState, palette):
+def _add_props_typed(carry: HitCarry, rays: Rays, props: PropState, palette,
+                     segments):
+    """Min-carry loop over a SEGMENTED prop table: `segments` is a static
+    ((ptype, start, count), ...) layout, so each row runs exactly one
+    intersection routine (a generic row tests all four quadric kinds and
+    selects — ~4-5x the arithmetic)."""
+    rgb_all = palette[props.color]
+
+    def seg_tests(ptype):
+        if ptype == C.PROP_BOX:
+            def test(pos, scale, yaw):
+                sc = jnp.abs(scale)
+                return box_hit(rays, pos - sc, pos + sc)
+        elif ptype in (C.PROP_SPHERE, C.PROP_CAPSULE):
+            is_capsule = ptype == C.PROP_CAPSULE  # static
+
+            def test(pos, scale, yaw):
+                sc = jnp.abs(scale)
+                ell_y = 2.0 * sc[1] if is_capsule else sc[1]
+                return ellipsoid_hit(rays, pos, (sc[0], ell_y, sc[2]))
+        elif ptype == C.PROP_CYLINDER:
+            def test(pos, scale, yaw):
+                sc = jnp.abs(scale)
+                return cylinder_hit(rays, pos, sc[0], sc[2], 0.5 * sc[1])
+        elif ptype == C.PROP_CONE:
+            def test(pos, scale, yaw):
+                sc = jnp.abs(scale)
+                return cone_hit(rays, pos, sc[0], sc[2], 0.5 * sc[1],
+                                scale[1] < 0)
+        elif ptype == C.PROP_ROTBOX:
+            def test(pos, scale, yaw):
+                sc = jnp.abs(scale)
+                cyj, syj = jnp.cos(yaw), jnp.sin(yaw)
+                ox, oy, oz = (rays.ox - pos[0], rays.oy - pos[1],
+                              rays.oz - pos[2])
+                lx = cyj * ox - syj * oz
+                lz = syj * ox + cyj * oz
+                dlx = cyj * rays.dx - syj * rays.dz
+                dlz = syj * rays.dx + cyj * rays.dz
+                local = rays_from((lx, oy, lz), (dlx, rays.dy, dlz))
+                t, (nlx, nly, nlz) = box_hit(local, -sc, sc)
+                wx = cyj * nlx + syj * nlz
+                wz = -syj * nlx + cyj * nlz
+                return t, (wx, nly, wz)
+        else:
+            raise ValueError(f"segment of unsupported prop type {ptype}")
+        return test
+
+    for ptype, start, count in segments:
+        if count == 0:
+            continue
+        test = seg_tests(ptype)
+
+        def add_one(c, pos, scale, yaw, flags, rgb):
+            t, n = test(pos, scale, yaw)
+            t = jnp.where((flags & PROP_FLAG_VISIBLE) != 0, t, INF)
+            return _select(c, t, n, (rgb[0], rgb[1], rgb[2]))
+
+        sl = slice(start, start + count)
+        pos, scale = props.pos[sl], props.scale[sl]
+        yaw, flags, rgb = props.yaw[sl], props.flags[sl], rgb_all[sl]
+        if count <= PROP_CHUNK:
+            for i in range(count):
+                carry = add_one(carry, pos[i], scale[i], yaw[i], flags[i], rgb[i])
+            continue
+        pad = (-count) % PROP_CHUNK
+        if pad:
+            pos = jnp.concatenate([pos, jnp.ones((pad, 3), pos.dtype)])
+            scale = jnp.concatenate([scale, jnp.ones((pad, 3), scale.dtype)])
+            yaw = jnp.concatenate([yaw, jnp.zeros((pad,), yaw.dtype)])
+            flags = jnp.concatenate([flags, jnp.zeros((pad,), flags.dtype)])
+            rgb = jnp.concatenate([rgb, jnp.zeros((pad, 3), rgb.dtype)])
+        g = pos.shape[0] // PROP_CHUNK
+
+        def body(c, xs):
+            po, sca, yw, fl, col = xs
+            for i in range(PROP_CHUNK):
+                c = add_one(c, po[i], sca[i], yw[i], fl[i], col[i])
+            return c, None
+
+        reshape = lambda x: x.reshape((g, PROP_CHUNK) + x.shape[1:])
+        carry, _ = jax.lax.scan(
+            body, carry,
+            (reshape(pos), reshape(scale), reshape(yaw), reshape(flags),
+             reshape(rgb)))
+    return carry
+
+
+def _add_props(carry: HitCarry, rays: Rays, props: PropState, palette,
+               segments=()):
     """Min-carry loop over the prop table [P] with per-slot type select;
-    grouped scan with an unrolled PROP_CHUNK body for large P."""
+    grouped scan with an unrolled PROP_CHUNK body for large P. With a static
+    `segments` layout, dispatches to the specialized per-type loops."""
+    if segments:
+        return _add_props_typed(carry, rays, props, palette, segments)
     rgb_all = palette[props.color]  # [P, 3]
     p = props.type.shape[0]
 
@@ -638,13 +730,19 @@ def _render_planes(
     props: PropState,
     agents: AgentState,
     time_fraction: jax.Array,
+    segments=None,
 ):
     """Trace-time-unrolled primitive loop over one env's scene. Returns
     (r, g, b) float planes [A, H, W] incl. shading and HUD. Fastest XLA form
     for SMALL scenes (compile time is linear in primitive count; use
-    _table_planes or the Pallas kernel for large scenes)."""
+    _table_planes or the Pallas kernel for large scenes).
+
+    `segments` is the static typed layout of the (possibly sliced) prop
+    table; None means cfg.prop_segments (the full-table layout)."""
     palette = jnp.asarray(C.PALETTE)
     rays = make_rays(cfg, agents)
+    if segments is None:
+        segments = cfg.prop_segments
 
     shape = rays.dx.shape
     carry = HitCarry(
@@ -653,7 +751,7 @@ def _render_planes(
         r=jnp.zeros(shape), g=jnp.zeros(shape), b=jnp.zeros(shape),
     )
     carry = _add_boxes(carry, rays, box_lo, box_hi, box_color, palette)
-    carry = _add_props(carry, rays, props, palette)
+    carry = _add_props(carry, rays, props, palette, segments=segments)
     carry = _add_agents(carry, rays, agents, palette)
 
     planes = shade_planes(rays, carry)
@@ -668,10 +766,11 @@ def render(
     props: PropState,
     agents: AgentState,
     time_fraction: jax.Array,
+    segments=None,
 ) -> jax.Array:
     """Render all agent views of one env -> uint8 [A, H, W, 3]."""
     r, g, b = _render_planes(cfg, box_lo, box_hi, box_color, props, agents,
-                             time_fraction)
+                             time_fraction, segments=segments)
     col = jnp.stack([r, g, b], axis=-1)
     return (col * 255.0 + 0.5).astype(jnp.uint8)
 
@@ -684,10 +783,11 @@ def render_packed(
     props: PropState,
     agents: AgentState,
     time_fraction: jax.Array,
+    segments=None,
 ) -> jax.Array:
     """render() emitting packed int32 RGB [A, H, W] directly from the channel
     planes — no [..., 3] tensor ever materializes (HBM round trips on the
     full frame batch dominate render cost)."""
     r, g, b = _render_planes(cfg, box_lo, box_hi, box_color, props, agents,
-                             time_fraction)
+                             time_fraction, segments=segments)
     return pack_planes(r, g, b)

@@ -43,7 +43,15 @@ from megaverse_tpu.types import (
 # ---------------------------------------------------------------------------
 
 class HostScene:
-    """Mutable numpy scene under construction; `finish()` -> SceneData arrays."""
+    """Mutable numpy scene under construction; `finish()` -> SceneData arrays.
+
+    When the scenario declares typed prop segments (cfg.prop_segments), the
+    prop table is laid out as fixed per-type regions and add_prop places each
+    prop at its type's segment cursor. The renderer then compiles exactly one
+    intersection routine per segment instead of testing every primitive kind
+    against every row (a generic row costs ~4-5x a specialized one), and the
+    render bucket slices each segment's live prefix independently.
+    """
 
     def __init__(self, cfg: EnvConfig):
         self.cfg = cfg
@@ -53,12 +61,18 @@ class HostScene:
         self.vterrain = np.zeros((x, y, z), np.uint8)
         self.vobj = np.zeros((x, y, z), np.int16)
         self.extra_boxes: List[Tuple[np.ndarray, np.ndarray, int]] = []
-        self.props_type: List[int] = []
-        self.props_pos: List[np.ndarray] = []
-        self.props_scale: List[np.ndarray] = []
-        self.props_yaw: List[float] = []
-        self.props_color: List[int] = []
-        self.props_flags: List[int] = []
+        p = cfg.max_props
+        self.props_type = np.full((p,), C.PROP_NONE, np.int8)
+        self.props_pos = np.zeros((p, 3), np.float32)
+        self.props_scale = np.zeros((p, 3), np.float32)
+        self.props_yaw = np.zeros((p,), np.float32)
+        self.props_color = np.zeros((p,), np.uint8)
+        self.props_flags = np.zeros((p,), np.uint8)
+        # cursor per segment; the legacy (unsegmented) layout is one untyped
+        # segment spanning the whole table.
+        self._segs = {ptype: [start, start, start + cap]
+                      for ptype, start, cap in cfg.prop_segments}
+        self._legacy_cursor = 0
         self.agent_spawn = np.zeros((cfg.num_agents, 3), np.float32)
         self.agent_yaw = np.zeros((cfg.num_agents,), np.float32)
         self.episode_len_sec = float(cfg.params.get(C.P_EPISODE_LENGTH_SEC, 60.0))
@@ -117,6 +131,19 @@ class HostScene:
         self.fill_box_voxels(imin, imax, vtype=0, terrain=terrain)
 
     # -- props --------------------------------------------------------------
+    def prop_room(self, ptype: int) -> int:
+        """Free slots for this prop type (its segment, or the shared table)."""
+        if self._segs:
+            start, cur, end = self._segs[ptype]
+            return end - cur
+        return self.cfg.max_props - self._legacy_cursor
+
+    def num_props(self) -> int:
+        """Total live props placed so far."""
+        if self._segs:
+            return sum(cur - start for start, cur, end in self._segs.values())
+        return self._legacy_cursor
+
     def add_prop(self, ptype: int, pos, scale, color: int,
                  solid: bool = False, movable: bool = False, yaw: float = 0.0) -> int:
         flags = PROP_FLAG_VISIBLE
@@ -124,13 +151,31 @@ class HostScene:
             flags |= PROP_FLAG_SOLID
         if movable:
             flags |= PROP_FLAG_MOVABLE
-        self.props_type.append(ptype)
-        self.props_pos.append(np.asarray(pos, np.float32))
-        self.props_scale.append(np.asarray(scale, np.float32))
-        self.props_yaw.append(float(yaw))
-        self.props_color.append(color)
-        self.props_flags.append(flags)
-        return len(self.props_type) - 1
+        if self._segs:
+            if ptype not in self._segs:
+                raise ValueError(
+                    f"{self.cfg.scenario_name}: prop type {ptype} has no "
+                    f"declared segment ({self.cfg.prop_segments})")
+            seg = self._segs[ptype]
+            if seg[1] >= seg[2]:
+                raise ValueError(
+                    f"{self.cfg.scenario_name}: segment for prop type {ptype} "
+                    f"is full (cap {seg[2] - seg[0]})")
+            idx = seg[1]
+            seg[1] += 1
+        else:
+            if self._legacy_cursor >= self.cfg.max_props:
+                raise ValueError(
+                    f"scene has more than max_props={self.cfg.max_props} props")
+            idx = self._legacy_cursor
+            self._legacy_cursor += 1
+        self.props_type[idx] = ptype
+        self.props_pos[idx] = np.asarray(pos, np.float32)
+        self.props_scale[idx] = np.asarray(scale, np.float32)
+        self.props_yaw[idx] = float(yaw)
+        self.props_color[idx] = color
+        self.props_flags[idx] = flags
+        return idx
 
     def add_movable_box(self, voxel) -> int:
         """Movable 0.39-half-extent box occupying `voxel` (int coords).
@@ -177,24 +222,6 @@ class HostScene:
         for i, (lo, hi, col) in enumerate(boxes):
             box_lo[i], box_hi[i], box_color[i] = lo, hi, col
 
-        p = self.cfg.max_props
-        n = len(self.props_type)
-        if n > p:
-            raise ValueError(f"scene has {n} props > max_props={p}")
-        prop_type = np.full((p,), C.PROP_NONE, np.int8)
-        prop_pos = np.zeros((p, 3), np.float32)
-        prop_scale = np.zeros((p, 3), np.float32)
-        prop_yaw = np.zeros((p,), np.float32)
-        prop_color = np.zeros((p,), np.uint8)
-        prop_flags = np.zeros((p,), np.uint8)
-        if n:
-            prop_type[:n] = self.props_type
-            prop_pos[:n] = self.props_pos
-            prop_scale[:n] = self.props_scale
-            prop_yaw[:n] = self.props_yaw
-            prop_color[:n] = self.props_color
-            prop_flags[:n] = self.props_flags
-
         return SceneData(
             vtype=self.vtype,
             vcolor=self.vcolor,
@@ -204,8 +231,9 @@ class HostScene:
             box_hi=box_hi,
             box_color=box_color,
             props=PropState(
-                type=prop_type, pos=prop_pos, scale=prop_scale, yaw=prop_yaw,
-                color=prop_color, flags=prop_flags,
+                type=self.props_type, pos=self.props_pos,
+                scale=self.props_scale, yaw=self.props_yaw,
+                color=self.props_color, flags=self.props_flags,
             ),
             agent_spawn=self.agent_spawn,
             agent_yaw=self.agent_yaw,
@@ -283,6 +311,10 @@ class Scenario:
     # Static capacity knobs (per scenario).
     max_boxes: int = 64
     max_props: int = 8
+    # Typed prop segments ((ptype, cap), ...). When declared, the prop table
+    # is laid out as per-type regions (see HostScene) and max_props is
+    # derived as the sum of caps.
+    prop_segments: Tuple[Tuple[int, int], ...] = ()
     shaping_keys: Tuple[str, ...] = ()
 
     def __init__(self, num_agents: int = 1, params: Optional[Dict[str, float]] = None):
@@ -290,12 +322,19 @@ class Scenario:
         resolved = self.default_params()
         resolved.update(params or {})
         self.params = resolved
+        seg_layout = []
+        start = 0
+        for ptype, cap in self.prop_segments:
+            seg_layout.append((int(ptype), start, int(cap)))
+            start += int(cap)
+        max_props = start if seg_layout else self.max_props
         self.cfg = EnvConfig(
             scenario_name=self.name,
             num_agents=num_agents,
             grid=self.grid_config(),
-            max_props=self.max_props,
+            max_props=max_props,
             params=resolved,
+            prop_segments=tuple(seg_layout),
         )
 
     # -- static config ------------------------------------------------------

@@ -50,7 +50,7 @@ class BoxAGoneState(struct.PyTreeNode):
 class BoxAGoneScenario(Scenario):
     name = "BoxAGone"
     max_boxes = 16
-    max_props = T_MAX
+    prop_segments = ((C.PROP_BOX, T_MAX),)
     shaping_keys = (K_FLOOR, K_STEP)
 
     def default_params(self) -> Dict[str, float]:

@@ -56,7 +56,8 @@ class CollectState(struct.PyTreeNode):
 class CollectScenario(Scenario):
     name = "Collect"
     max_boxes = 768
-    max_props = 2 * R_MAX + OBJ_MAX  # diamonds are two cones each
+    # typed prop regions: movable boxes | diamond cones (two per diamond)
+    prop_segments = ((C.PROP_BOX, OBJ_MAX), (C.PROP_CONE, 2 * R_MAX))
     shaping_keys = (K_GOOD, K_BAD, K_ALL, K_ABYSS)
 
     def grid_config(self) -> GridConfig:

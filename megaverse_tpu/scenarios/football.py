@@ -40,7 +40,7 @@ class FootballState(struct.PyTreeNode):
 class FootballScenario(Scenario):
     name = "Football"
     max_boxes = 16
-    max_props = 1
+    prop_segments = ((C.PROP_SPHERE, 1),)
 
     def grid_config(self) -> GridConfig:
         return GridConfig(dims=(24, 10, 24), voxel_size=1.0, origin=(0.0, 0.0, 0.0))

@@ -70,11 +70,12 @@ def add_shape(scene: HostScene, shape: int, color: int, loc, scale) -> int:
 
 
 def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
-               max_size: int, omit_min: float, omit_max: float,
-               prop_budget: int):
+               max_size: int, omit_min: float, omit_max: float):
     """Generate the maze into the scene; returns (maze, size).
 
-    Mirrors HexagonalMazeComponent::reset + addDrawablesAndCollisions.
+    Mirrors HexagonalMazeComponent::reset + addDrawablesAndCollisions. Wall
+    and landmark props draw from the ROTBOX segment; collision voxelization
+    is unconditional, so running out of render rows never changes physics.
     """
     size = int(rng.integers(min_size, max_size))
     maze = HoneycombMaze(size, rng)
@@ -114,7 +115,7 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
         rot_y = np.pi / 2 if abs(dx_) < 1e-6 else -np.arctan(dz_ / dx_)
 
         # landmarks (decorative tabs, component_hexagonal_maze.cpp:96-108)
-        if rng.random() < landmark_p and len(scene.props_type) < prop_budget - 8:
+        if rng.random() < landmark_p and scene.prop_room(C.PROP_ROTBOX) > 8:
             lw = 0.15
             lh = lw * half_len / wall_height
             n_land = int(rng.integers(2, 5))
@@ -132,7 +133,7 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
                 scene.add_prop(C.PROP_ROTBOX, (wx, wall_height + local[1], wz),
                                world_scale, color, yaw=rot_y)
 
-        if len(scene.props_type) < prop_budget - 2:
+        if scene.prop_room(C.PROP_ROTBOX) >= 2:
             scene.add_prop(C.PROP_ROTBOX, (cx, wall_height, cz),
                            (half_len, wall_height, 0.15),
                            C.COLOR_IDX["DARK_BLUE"], yaw=rot_y)
@@ -169,7 +170,8 @@ class HexExploreState(struct.PyTreeNode):
 class HexExploreScenario(Scenario):
     name = "HexExplore"
     max_boxes = 8
-    max_props = 1100
+    ROTBOX_MAX = 1100
+    prop_segments = ((C.PROP_ROTBOX, ROTBOX_MAX), (C.PROP_CONE, 2))
     shaping_keys = (K_EXPLORE,)
 
     def grid_config(self) -> GridConfig:
@@ -181,7 +183,7 @@ class HexExploreScenario(Scenario):
 
     def generate(self, rng: np.random.Generator) -> SceneData:
         scene = HostScene(self.cfg)
-        maze, size = build_maze(scene, rng, 2, 8, 0.1, 0.4, self.max_props - 4)
+        maze, size = build_maze(scene, rng, 2, 8, 0.1, 0.4)
 
         cell = int(rng.integers(0, len(maze.cells)))
         cx, cz = maze.centers[cell] * MAZE_SCALE
@@ -269,7 +271,14 @@ class HexMemoryState(struct.PyTreeNode):
 class HexMemoryScenario(Scenario):
     name = "HexMemory"
     max_boxes = 8
-    max_props = 1100 + 3 * MEM_MAX_OBJECTS + 3
+    # walls/edging/landmark tabs | pillar cylinders | diamond cones | spheres
+    # (objects + the landmark object can all be one shape in the worst case)
+    prop_segments = (
+        (C.PROP_ROTBOX, 1100),
+        (C.PROP_CYLINDER, 3 * MEM_MAX_OBJECTS + 3),
+        (C.PROP_CONE, 2 * MEM_MAX_OBJECTS + 2),
+        (C.PROP_SPHERE, MEM_MAX_OBJECTS + 1),
+    )
     shaping_keys = (K_MEM_GOOD, K_MEM_BAD)
 
     def grid_config(self) -> GridConfig:
@@ -281,7 +290,7 @@ class HexMemoryScenario(Scenario):
 
     def generate(self, rng: np.random.Generator) -> SceneData:
         scene = HostScene(self.cfg)
-        maze, size = build_maze(scene, rng, 2, 8, 0.1, 0.95, 1100)
+        maze, size = build_maze(scene, rng, 2, 8, 0.1, 0.95)
 
         # center cell = landmark (scenario_hex_memory.cpp:40-53)
         d2 = np.sum(maze.centers ** 2, axis=1)
@@ -329,8 +338,11 @@ class HexMemoryScenario(Scenario):
         for group, is_good in ((good_coords, True), (bad_coords, False)):
             shape = good_shape if is_good else bad_shape
             color = good_color if is_good else bad_color
+            needed = {SHAPE_SPHERE: (C.PROP_SPHERE, 1),
+                      SHAPE_DIAMOND: (C.PROP_CONE, 2),
+                      SHAPE_PILLAR: (C.PROP_CYLINDER, 3)}[shape]
             for coord in group:
-                if i >= k or len(scene.props_type) + 3 > self.max_props:
+                if i >= k or scene.prop_room(needed[0]) < needed[1]:
                     break
                 loc = coord + _SHAPE_SHIFT[shape] * obj_scale
                 first = add_shape(scene, shape, color, loc, _SHAPE_SCALE[shape] * obj_scale)

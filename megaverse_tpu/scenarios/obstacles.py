@@ -52,9 +52,10 @@ class ObstaclesState(struct.PyTreeNode):
 class ObstaclesScenario(Scenario):
     name = "Obstacles"
     platform_types: Tuple[str, ...] = ("WALL", "LAVA", "STEP", "GAP")
-    max_props = 192
     max_boxes = 192  # up to ~8 AABBs per chain segment + terrain quads
     R_MAX = 32  # bonus diamonds: <=1 per non-start/exit segment
+    BOX_MAX = 128  # movable boxes
+    prop_segments = ((C.PROP_BOX, BOX_MAX), (C.PROP_CONE, 2 * R_MAX))
     shaping_keys = (K_AT_EXIT, K_ALL_AT_EXIT, K_EXTRA, K_CARRIED)
 
     def default_params(self) -> Dict[str, float]:
@@ -221,7 +222,7 @@ class ObstaclesScenario(Scenario):
             cells = p.generate_object_positions(num_boxes[i] + extra)
             object_cells.extend(cells)
 
-        object_cells = object_cells[: self.max_props - 2 * self.R_MAX]
+        object_cells = object_cells[: self.BOX_MAX]
         for cell in object_cells:
             scene.add_movable_box(cell + shift)
 

@@ -47,7 +47,7 @@ class SokobanState(struct.PyTreeNode):
 class SokobanScenario(Scenario):
     name = "Sokoban"
     max_boxes = 64
-    max_props = MAX_SOKO_BOXES
+    prop_segments = ((C.PROP_BOX, MAX_SOKO_BOXES),)
     shaping_keys = (K_ON, K_OFF, K_ALL)
 
     def __init__(self, *args, **kwargs):

@@ -54,7 +54,7 @@ class TowerState(struct.PyTreeNode):
 class TowerBuildingScenario(Scenario):
     name = "TowerBuilding"
     max_boxes = 24
-    max_props = MAX_BOXES
+    prop_segments = ((C.PROP_BOX, MAX_BOXES),)
     shaping_keys = (K_PICKED, K_VISITED, K_BUILD)
 
     def grid_config(self) -> GridConfig:

@@ -63,6 +63,9 @@ class EnvConfig:
     dt: float = C.DEFAULT_DT
     obs_width: int = C.OBS_WIDTH
     obs_height: int = C.OBS_HEIGHT
+    # Typed prop-table layout: ((ptype, start, cap), ...). Empty = one untyped
+    # region of max_props rows (renderer tests every primitive kind per row).
+    prop_segments: Tuple[Tuple[int, int, int], ...] = ()
 
     def param(self, name: str) -> float:
         return float(self.params[name])

@@ -97,7 +97,8 @@ class VectorEnv:
         # + 25% headroom, rounded up).
         self._bucket: Optional[tuple] = None
         self._hw_boxes = 0
-        self._hw_props = 0
+        segs = self.scenario.cfg.prop_segments
+        self._hw_props = [0] * len(segs) if segs else 0
         self._build_render_fns()
 
         # Split dispatches: the sim step is a pure-XLA dependent chain (fast to
@@ -149,12 +150,18 @@ class VectorEnv:
     def _note_layout_counts(self, scenes) -> None:
         import megaverse_tpu.constants as _C
 
+        segments = self.scenario.cfg.prop_segments
         for sc in scenes:
             self._hw_boxes = max(
                 self._hw_boxes, int((np.asarray(sc.box_color) > 0).sum()))
-            self._hw_props = max(
-                self._hw_props,
-                int((np.asarray(sc.props.type) != _C.PROP_NONE).sum()))
+            types = np.asarray(sc.props.type)
+            if segments:
+                for i, (ptype, start, cap) in enumerate(segments):
+                    n = int((types[start:start + cap] != _C.PROP_NONE).sum())
+                    self._hw_props[i] = max(self._hw_props[i], n)
+            else:
+                self._hw_props = max(
+                    self._hw_props, int((types != _C.PROP_NONE).sum()))
 
     def _update_bucket(self) -> None:
         import os
@@ -184,11 +191,20 @@ class VectorEnv:
                 return roundup(n, 8)
             return roundup(n, chunk)
 
-        mb = max(1, quantize(self._hw_boxes * 1.25, BOX_CHUNK))
-        pb = quantize(self._hw_props * 1.25, PROP_CHUNK)
-        new = (mb, pb)
-        if self._bucket is None or mb > self._bucket[0] or pb > self._bucket[1]:
-            self._bucket = new
+        # Padding rows cost full per-pixel work, so headroom is mostly the
+        # quantum rounding itself; the small multiplicative slack just absorbs
+        # high-water creep between refills.
+        mb = max(1, quantize(self._hw_boxes * 1.1, BOX_CHUNK))
+        if isinstance(self._hw_props, list):
+            pb = tuple(quantize(n * 1.1, PROP_CHUNK) for n in self._hw_props)
+            grew = (self._bucket is None or mb > self._bucket[0]
+                    or any(a > b for a, b in zip(pb, self._bucket[1])))
+        else:
+            pb = quantize(self._hw_props * 1.1, PROP_CHUNK)
+            grew = (self._bucket is None or mb > self._bucket[0]
+                    or pb > self._bucket[1])
+        if grew:
+            self._bucket = (mb, pb)
             self._build_render_fns()
 
     # ------------------------------------------------------------------ seeds
