@@ -20,7 +20,9 @@ from megaverse_tpu.ops import physics as P
 from megaverse_tpu.ops import raycast as R
 from megaverse_tpu.scenarios.base import Scenario
 from megaverse_tpu.types import (
+    AgentState,
     EnvState,
+    PropState,
     SceneData,
     state_from_scene,
     tree_select,
@@ -160,7 +162,31 @@ def renderer_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
-def render_batch(scenario: Scenario, states: EnvState, backend: str | None = None,
+class RenderView(NamedTuple):
+    """The subset of EnvState the batched renderer reads. Extracting it lets
+    callers gather ONLY these fields per render class instead of the whole
+    state (voxel grids dwarf everything else)."""
+    box_lo: jax.Array
+    box_hi: jax.Array
+    box_color: jax.Array
+    props: "PropState"
+    agents: "AgentState"
+    episode_sec: jax.Array
+    episode_len_sec: jax.Array
+
+    def replace(self, **kw) -> "RenderView":
+        return self._replace(**kw)
+
+
+def render_view(states: EnvState) -> RenderView:
+    return RenderView(
+        box_lo=states.box_lo, box_hi=states.box_hi, box_color=states.box_color,
+        props=states.props, agents=states.agents,
+        episode_sec=states.episode_sec, episode_len_sec=states.episode_len_sec,
+    )
+
+
+def render_batch(scenario: Scenario, states, backend: str | None = None,
                  fmt: str = "rgb", bucket: "tuple[int, int] | None" = None) -> jax.Array:
     """Observations for a BATCH of envs.
 

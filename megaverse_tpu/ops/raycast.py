@@ -292,11 +292,14 @@ def cone_hit(rays: Rays, center, rx, rz, half_h, flipped, near=C.CAMERA_NEAR):
 
 # Inner-unroll chunk sizes for the grouped scans below. Compile time scales
 # with the chunk (not the table), HBM carry traffic with table/chunk: each
-# lax.scan iteration materializes the 7-plane HitCarry once, while everything
-# inside the chunk fuses in registers. Small scenes (M <= chunk) stay fully
+# lax.scan iteration materializes the 7-plane HitCarry once (~28 B/pixel),
+# while everything inside the chunk fuses in registers. At the dev tunnel's
+# ~38 GB/s a 1000-row scene in 64/16-row chunks moved ~7 GB of carry per
+# batch-step — larger chunks trade (bounded, cached) compile time for
+# several-fold less carry traffic. Small scenes (M <= chunk) stay fully
 # unrolled with zero scan overhead.
-BOX_CHUNK = 64
-PROP_CHUNK = 16
+BOX_CHUNK = 128
+PROP_CHUNK = 48
 
 
 def _add_boxes(carry: HitCarry, rays: Rays, box_lo, box_hi, box_color, palette):

@@ -222,11 +222,12 @@ class HostScene:
         for i, (lo, hi, col) in enumerate(boxes):
             box_lo[i], box_hi[i], box_color[i] = lo, hi, col
 
+        one = np.zeros((1, 1, 1), np.uint8)
         return SceneData(
             vtype=self.vtype,
-            vcolor=self.vcolor,
-            vterrain=self.vterrain,
-            vobj=self.vobj,
+            vterrain=self.vterrain if self.cfg.needs_terrain_grid else one,
+            vobj=(self.vobj if self.cfg.needs_object_grid
+                  else one.astype(np.int16)),
             box_lo=box_lo,
             box_hi=box_hi,
             box_color=box_color,
@@ -315,6 +316,10 @@ class Scenario:
     # is laid out as per-type regions (see HostScene) and max_props is
     # derived as the sum of caps.
     prop_segments: Tuple[Tuple[int, int], ...] = ()
+    # Which voxel grids the scenario's DEVICE logic reads (vtype is always
+    # shipped; vcolor never is — it only drives the host-side render merge).
+    needs_terrain_grid: bool = False
+    needs_object_grid: bool = False
     shaping_keys: Tuple[str, ...] = ()
 
     def __init__(self, num_agents: int = 1, params: Optional[Dict[str, float]] = None):
@@ -335,6 +340,8 @@ class Scenario:
             max_props=max_props,
             params=resolved,
             prop_segments=tuple(seg_layout),
+            needs_terrain_grid=self.needs_terrain_grid,
+            needs_object_grid=self.needs_object_grid,
         )
 
     # -- static config ------------------------------------------------------

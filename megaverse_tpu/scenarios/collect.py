@@ -58,6 +58,7 @@ class CollectScenario(Scenario):
     max_boxes = 768
     # typed prop regions: movable boxes | diamond cones (two per diamond)
     prop_segments = ((C.PROP_BOX, OBJ_MAX), (C.PROP_CONE, 2 * R_MAX))
+    needs_object_grid = True  # pick/place stacking
     shaping_keys = (K_GOOD, K_BAD, K_ALL, K_ABYSS)
 
     def grid_config(self) -> GridConfig:

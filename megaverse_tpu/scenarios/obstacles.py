@@ -56,6 +56,8 @@ class ObstaclesScenario(Scenario):
     R_MAX = 32  # bonus diamonds: <=1 per non-start/exit segment
     BOX_MAX = 128  # movable boxes
     prop_segments = ((C.PROP_BOX, BOX_MAX), (C.PROP_CONE, 2 * R_MAX))
+    needs_terrain_grid = True  # exit pads / lava detection
+    needs_object_grid = True   # pick/place stacking
     shaping_keys = (K_AT_EXIT, K_ALL_AT_EXIT, K_EXTRA, K_CARRIED)
 
     def default_params(self) -> Dict[str, float]:

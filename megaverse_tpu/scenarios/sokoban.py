@@ -48,6 +48,7 @@ class SokobanScenario(Scenario):
     name = "Sokoban"
     max_boxes = 64
     prop_segments = ((C.PROP_BOX, MAX_SOKO_BOXES),)
+    needs_object_grid = True  # discrete box pushing
     shaping_keys = (K_ON, K_OFF, K_ALL)
 
     def __init__(self, *args, **kwargs):

@@ -55,6 +55,7 @@ class TowerBuildingScenario(Scenario):
     name = "TowerBuilding"
     max_boxes = 24
     prop_segments = ((C.PROP_BOX, MAX_BOXES),)
+    needs_object_grid = True  # tower reward scans the object-slot grid
     shaping_keys = (K_PICKED, K_VISITED, K_BUILD)
 
     def grid_config(self) -> GridConfig:

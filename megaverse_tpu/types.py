@@ -66,6 +66,11 @@ class EnvConfig:
     # Typed prop-table layout: ((ptype, start, cap), ...). Empty = one untyped
     # region of max_props rows (renderer tests every primitive kind per row).
     prop_segments: Tuple[Tuple[int, int, int], ...] = ()
+    # Whether device-side scenario logic reads these grids; when False they
+    # ship as (1,1,1) placeholders (the auto-reset select streams every grid
+    # through HBM each step).
+    needs_terrain_grid: bool = False
+    needs_object_grid: bool = False
 
     def param(self, name: str) -> float:
         return float(self.params[name])
@@ -151,8 +156,11 @@ class SceneData(struct.PyTreeNode):
     consumes; the voxel fields drive physics and game logic.
     """
 
+    # Voxel color lives host-side only (it exists to drive the greedy render-
+    # box merge); vterrain/vobj collapse to shape (1,1,1) for scenarios whose
+    # device logic never reads them — the per-step auto-reset select streams
+    # every grid field through HBM, so dead fields cost real bandwidth.
     vtype: jax.Array    # uint8 [X,Y,Z] voxel bit flags (VOXEL_*)
-    vcolor: jax.Array   # uint8 [X,Y,Z] palette index
     vterrain: jax.Array  # uint8 [X,Y,Z] terrain bit flags (TERRAIN_*)
     vobj: jax.Array     # int16 [X,Y,Z] prop index + 1 occupying the voxel (0 = none)
     box_lo: jax.Array   # f32 [M,3] merged layout boxes (render), world coords
@@ -173,7 +181,6 @@ class EnvState(struct.PyTreeNode):
 
     # Scene / layout
     vtype: jax.Array
-    vcolor: jax.Array
     vterrain: jax.Array
     vobj: jax.Array
     box_lo: jax.Array
@@ -213,7 +220,6 @@ def state_from_scene(scene: SceneData, num_agents: int, rng: jax.Array) -> EnvSt
     a = num_agents
     return EnvState(
         vtype=scene.vtype,
-        vcolor=scene.vcolor,
         vterrain=scene.vterrain,
         vobj=scene.vobj,
         box_lo=scene.box_lo,

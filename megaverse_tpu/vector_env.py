@@ -99,6 +99,7 @@ class VectorEnv:
         self._hw_boxes = 0
         segs = self.scenario.cfg.prop_segments
         self._hw_props = [0] * len(segs) if segs else 0
+        self._init_render_classes()
         self._build_render_fns()
 
         # Split dispatches: the sim step is a pure-XLA dependent chain (fast to
@@ -146,6 +147,145 @@ class VectorEnv:
         for attr in ("_chunk_fused", "_scan_fns"):
             if hasattr(self, attr):
                 delattr(self, attr)
+
+    # -------------------------------------------------- render size classes
+    # One outlier layout must not set the whole batch's table size: the
+    # renderer's cost is O(table rows x pixels) and row counts are heavy-
+    # tailed (Collect: p50=44 merged boxes, max ~550). Envs are partitioned
+    # by their CURRENT layout's live row counts into a few static bucket
+    # classes; each class renders through its own gather->render program and
+    # the frames are reassembled by one inverse-permutation gather. Class
+    # membership is host bookkeeping, exact and conservative: an env's rows
+    # are max(current episode, buffered next layout), covering auto-resets
+    # that consume the buffer between refill polls.
+    _CLASS_MIN_ROWS = 256       # only partition genuinely large scenarios
+    _NUM_CLASSES = 4
+
+    def _init_render_classes(self) -> None:
+        cfg = self.scenario.cfg
+        box_cap = int(self.scenario.max_boxes)
+        seg_caps = [cap for _, _, cap in cfg.prop_segments]
+        if not cfg.prop_segments:
+            seg_caps = [int(cfg.max_props)]
+        dims = [box_cap] + seg_caps
+        import os
+
+        self._use_classes = (
+            self.device is None
+            and self.render_obs
+            and not os.environ.get("MEGAVERSE_NO_CLASSES")
+            and sum(dims) >= self._CLASS_MIN_ROWS
+            and self.num_envs >= 64
+        )
+        if not self._use_classes:
+            return
+        K = self._NUM_CLASSES
+        roundup = lambda n, q: ((max(int(n), 1) + q - 1) // q) * q
+
+        def levels(cap):
+            # Small tables are cheap — levelling them would drag envs into
+            # expensive classes over a handful of rows, so every level gets at
+            # least min(cap, 48) rows.
+            out = []
+            for k in range(K):
+                frac = max(cap / (2 ** (K - 1 - k)), min(cap, 48))
+                out.append(min(cap, roundup(frac, 8)))
+            return out
+
+        # ladder[k] = (box_rows, (seg rows...)) — static, compiled lazily.
+        box_lv = levels(box_cap)
+        seg_lv = [levels(c) for c in seg_caps]
+        self._class_ladder = [
+            (box_lv[k], tuple(lv[k] for lv in seg_lv)) for k in range(K)
+        ]
+        self._cls_rows_cur: Optional[np.ndarray] = None  # [B, D]
+        self._cls_rows_buf: Optional[np.ndarray] = None
+        self._cls_groups: list = []     # [(class_k, padded_idx np.ndarray)]
+        self._cls_inv = None            # device inverse permutation [B]
+        self._cls_render_fns: Dict = {}
+        self._cls_assemble_fns: Dict = {}
+
+    def _scene_rows(self, scene) -> np.ndarray:
+        """Live render-row counts [1 + num_segments] of one layout."""
+        import megaverse_tpu.constants as _C
+
+        cfg = self.scenario.cfg
+        types = np.asarray(scene.props.type)
+        rows = [int((np.asarray(scene.box_color) > 0).sum())]
+        if cfg.prop_segments:
+            for ptype, start, cap in cfg.prop_segments:
+                rows.append(int((types[start:start + cap] != _C.PROP_NONE).sum()))
+        else:
+            rows.append(int((types != _C.PROP_NONE).sum()))
+        return np.asarray(rows, np.int32)
+
+    def _class_of(self, rows: np.ndarray) -> np.ndarray:
+        """Smallest ladder class covering each env's rows. rows [B, D]."""
+        B = rows.shape[0]
+        cls = np.full((B,), len(self._class_ladder) - 1, np.int32)
+        for k in reversed(range(len(self._class_ladder) - 1)):
+            mb, pb = self._class_ladder[k]
+            lim = np.asarray([mb, *pb], np.int32)
+            fits = (rows <= lim[None, :]).all(axis=1)
+            cls = np.where(fits, k, cls)
+        return cls
+
+    def _rebuild_class_groups(self) -> None:
+        rows = np.maximum(self._cls_rows_cur, self._cls_rows_buf)
+        cls = self._class_of(rows)
+        B = self.num_envs
+        # Group padding: small powers of two, then multiples of 128 — padded
+        # dummies render at the group's full bucket cost, so granularity
+        # matters much more than program count (compiled lazily, cached).
+        pad_sizes = sorted({32, 64, *range(128, B + 1, 128), B})
+        groups = []
+        order_parts = []
+        for k in range(len(self._class_ladder)):
+            idx = np.nonzero(cls == k)[0].astype(np.int32)
+            if idx.size == 0:
+                continue
+            padded = next(p for p in pad_sizes if p >= idx.size)
+            full = np.full((padded,), idx[0], np.int32)
+            full[: idx.size] = idx
+            groups.append((k, jnp.asarray(full)))
+            order_parts.append(full)
+        order = np.concatenate(order_parts)
+        # inverse permutation: first occurrence of each env in the concat
+        inv = np.zeros((B,), np.int32)
+        seen = np.zeros((B,), bool)
+        for pos, e in enumerate(order):
+            if not seen[e]:
+                inv[e] = pos
+                seen[e] = True
+        self._cls_groups = groups
+        self._cls_inv = jnp.asarray(inv)
+        self._cls_total = int(order.size)
+
+    def _render_classes(self, state) -> jax.Array:
+        """Per-class gather->render, then one inverse-permutation gather."""
+        from megaverse_tpu.env import render_batch, render_view
+
+        scen, fmt = self.scenario, self.obs_format
+        view = render_view(state)
+        parts = []
+        for k, idx in self._cls_groups:
+            key = (k, int(idx.shape[0]))
+            if key not in self._cls_render_fns:
+                bucket = self._class_ladder[k]
+                if not scen.cfg.prop_segments:
+                    bucket = (bucket[0], bucket[1][0])
+
+                def f(view, idx, _bucket=bucket):
+                    sub = jax.tree.map(lambda x: x[idx], view)
+                    return render_batch(scen, sub, fmt=fmt, bucket=_bucket)
+
+                self._cls_render_fns[key] = jax.jit(f)
+            parts.append(self._cls_render_fns[key](view, idx))
+        akey = tuple(int(p.shape[0]) for p in parts)
+        if akey not in self._cls_assemble_fns:
+            self._cls_assemble_fns[akey] = jax.jit(
+                lambda parts, inv: jnp.concatenate(parts, axis=0)[inv])
+        return self._cls_assemble_fns[akey](parts, self._cls_inv)
 
     def _note_layout_counts(self, scenes) -> None:
         import megaverse_tpu.constants as _C
@@ -218,6 +358,8 @@ class VectorEnv:
     def _generate_batch(self, env_indices) -> SceneData:
         scenes = [self.scenario.generate(self._gens[i]) for i in env_indices]
         self._note_layout_counts(scenes)
+        if self._use_classes:
+            self._last_gen_rows = np.stack([self._scene_rows(s) for s in scenes])
         # Stack on the HOST and ship one buffer per leaf: per-env device_puts
         # are catastrophically slow through the dev-TPU tunnel.
         return jax.tree.map(
@@ -226,12 +368,19 @@ class VectorEnv:
     def reset(self) -> jax.Array:
         all_idx = range(self.num_envs)
         first = self._generate_batch(all_idx)
+        if self._use_classes:
+            self._cls_rows_cur = self._last_gen_rows
         self.next_scenes = jax.device_put(self._generate_batch(all_idx), self.device)
+        if self._use_classes:
+            self._cls_rows_buf = self._last_gen_rows
+            self._rebuild_class_groups()
         keys = jax.random.split(jax.random.PRNGKey(self._master_seed), self.num_envs)
         self.state = self._vinit(jax.device_put(first, self.device), keys)
         self._steps_since_poll = 0
         self._pending_dones = None
         self._update_bucket()
+        if self._use_classes:
+            return self._render_classes(self.state)
         return self._vrender(self.state)
 
     # ------------------------------------------------------------------- step
@@ -250,7 +399,12 @@ class VectorEnv:
 
         from megaverse_tpu.env import renderer_backend
 
-        if self.render_obs and renderer_backend() == "pallas":
+        if self.render_obs and self._use_classes:
+            result = self._vstep_sim(self.state, self.next_scenes, actions,
+                                     self.shaping)
+            self.state = result.state
+            obs = self._render_classes(result.state)
+        elif self.render_obs and renderer_backend() == "pallas":
             # keep the Pallas render off the sim dependency chain (high
             # per-dispatch latency on tunneled dev TPUs)
             result = self._vstep_sim(self.state, self.next_scenes, actions,
@@ -304,7 +458,7 @@ class VectorEnv:
 
         from megaverse_tpu.env import renderer_backend
 
-        split = renderer_backend() == "pallas"
+        split = renderer_backend() == "pallas" or self._use_classes
         if not split and not hasattr(self, "_chunk_fused"):
             def fused(state, next_scenes, action, shaping, pending):
                 res = self._step_render(state, next_scenes, action, shaping)
@@ -327,11 +481,12 @@ class VectorEnv:
         for i in range(n_steps):
             act = pool_steps[i % len(pool_steps)]
             if split:
-                # pallas render hangs off the sim chain as an independent
-                # dispatch (high per-execution latency on tunneled dev TPUs)
+                # class-partitioned or pallas render hangs off the sim chain
+                # as independent dispatches
                 res = self._vstep_sim(self.state, self.next_scenes, act, self.shaping)
                 self.state = res.state
-                obs = self._vrender(res.state)
+                obs = (self._render_classes(res.state) if self._use_classes
+                       else self._vrender(res.state))
                 done = res.done
                 self._accumulate_dones(done)
             else:
@@ -420,6 +575,11 @@ class VectorEnv:
         self.next_scenes = jax.tree.map(
             lambda buf, new: buf.at[idx_dev].set(new), self.next_scenes, new_scenes
         )
+        if self._use_classes:
+            # done envs consumed their buffered layout; the new one is buffered
+            self._cls_rows_cur[idx] = self._cls_rows_buf[idx]
+            self._cls_rows_buf[idx] = self._last_gen_rows
+            self._rebuild_class_groups()
         self._update_bucket()
 
     # -------------------------------------------------------------- shaping

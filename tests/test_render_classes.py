@@ -1,0 +1,64 @@
+"""Render-class partitioning must be invisible in results.
+
+VectorEnv partitions the env batch by live render-row counts and renders each
+class through its own gather->render program (one outlier layout must not set
+the whole batch's table size). These tests pin that partitioned rollouts are
+bit-identical to full-batch rendering, across auto-resets, refills, and
+multi-group/padded partitions.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import megaverse_tpu.constants as C
+from megaverse_tpu.vector_env import VectorEnv
+
+
+def _rollout(name, classes_on, num_envs=64, steps=8, seed=31, **params):
+    if classes_on:
+        os.environ.pop("MEGAVERSE_NO_CLASSES", None)
+    else:
+        os.environ["MEGAVERSE_NO_CLASSES"] = "1"
+    try:
+        env = VectorEnv(name, num_envs=num_envs, num_agents_per_env=1,
+                        seed=seed, params=params or None)
+        frames = [np.asarray(env.reset())]
+        rng = np.random.default_rng(8)
+        rews = []
+        for _ in range(steps):
+            md = np.stack(
+                [rng.integers(0, s, size=(num_envs, 1))
+                 for s in C.ACTION_SPACE_SIZES], axis=-1)
+            obs, rew, done, _ = env.step(md)
+            frames.append(np.asarray(obs))
+            rews.append(np.asarray(rew))
+        used = env._use_classes
+        groups = ([(k, int(i.shape[0])) for k, i in env._cls_groups]
+                  if used else [])
+        return np.stack(frames), np.stack(rews), used, groups
+    finally:
+        os.environ.pop("MEGAVERSE_NO_CLASSES", None)
+
+
+def test_classes_match_full_render_with_resets(monkeypatch):
+    """Forced-on classes over short episodes (refill + consume-buffer path)."""
+    monkeypatch.setattr(VectorEnv, "_CLASS_MIN_ROWS", 0)
+    f_full, r_full, used, _ = _rollout(
+        "Sokoban", False, steps=20, **{C.P_EPISODE_LENGTH_SEC: 1.0})
+    assert not used
+    f_cls, r_cls, used, _ = _rollout(
+        "Sokoban", True, steps=20, **{C.P_EPISODE_LENGTH_SEC: 1.0})
+    assert used
+    np.testing.assert_array_equal(f_full, f_cls)
+    np.testing.assert_array_equal(r_full, r_cls)
+
+
+def test_classes_multi_group_collect():
+    """Collect's heavy-tailed layouts split into several padded groups."""
+    f_full, _, used, _ = _rollout("Collect", False, steps=3, seed=13)
+    assert not used
+    f_cls, _, used, groups = _rollout("Collect", True, steps=3, seed=13)
+    assert used and len(groups) >= 2
+    np.testing.assert_array_equal(f_full, f_cls)
