@@ -351,12 +351,57 @@ class VectorEnv:
     def seed(self, seed: int) -> None:
         """Master seed fans out per-env generation streams (megaverse.cpp:60-69)."""
         self._master_seed = seed
+        # Drain the prefetch worker BEFORE swapping generators: a pending task
+        # resolves self._gens[i] at run time and must not touch the new streams.
+        self._reset_prefetch()
         ss = np.random.SeedSequence(seed)
         self._gens = [np.random.Generator(np.random.PCG64(s)) for s in ss.spawn(self.num_envs)]
 
+    # --------------------------------------------------------------- prefetch
+    # Layout generation is host-side numpy; at high throughput the synchronous
+    # refill serializes it between device chunks. A single worker thread
+    # pre-generates each env's NEXT layouts while the device runs: per-env
+    # streams are deterministic and consumed in order, and all generation for
+    # an env happens in submission order on one worker, so results are
+    # bit-identical to synchronous generation.
+    def _reset_prefetch(self) -> None:
+        import os
+        from collections import deque
+
+        if getattr(self, "_prefetch_pool", None) is not None:
+            self._prefetch_pool.shutdown(wait=True, cancel_futures=True)
+        self._prefetch_pool = None
+        self._prefetch_q = None
+        if os.environ.get("MEGAVERSE_NO_PREFETCH"):
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._prefetch_pool = ThreadPoolExecutor(
+            1, thread_name_prefix="megaverse-gen")
+        self._prefetch_q = [deque() for _ in range(self.num_envs)]
+
+    def _gen_scene(self, i: int):
+        return self.scenario.generate(self._gens[i])
+
+    def _pop_scene(self, i: int):
+        """Next layout for env i: prefetched if available, inline otherwise.
+        Tops the env's queue back up afterwards."""
+        if self._prefetch_pool is None:
+            return self._gen_scene(i)
+        q = self._prefetch_q[i]
+        fut = q.popleft() if q else self._prefetch_pool.submit(self._gen_scene, i)
+        scene = fut.result()
+        q.append(self._prefetch_pool.submit(self._gen_scene, i))
+        return scene
+
+    def close(self) -> None:
+        if getattr(self, "_prefetch_pool", None) is not None:
+            self._prefetch_pool.shutdown(wait=False, cancel_futures=True)
+            self._prefetch_pool = None
+
     # ------------------------------------------------------------------ reset
     def _generate_batch(self, env_indices) -> SceneData:
-        scenes = [self.scenario.generate(self._gens[i]) for i in env_indices]
+        scenes = [self._pop_scene(i) for i in env_indices]
         self._note_layout_counts(scenes)
         if self._use_classes:
             self._last_gen_rows = np.stack([self._scene_rows(s) for s in scenes])
