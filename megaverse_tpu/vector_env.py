@@ -159,7 +159,7 @@ class VectorEnv:
     # are max(current episode, buffered next layout), covering auto-resets
     # that consume the buffer between refill polls.
     _CLASS_MIN_ROWS = 256       # only partition genuinely large scenarios
-    _NUM_CLASSES = 4
+    _NUM_CLASSES = 6
 
     def _init_render_classes(self) -> None:
         cfg = self.scenario.cfg
@@ -183,12 +183,13 @@ class VectorEnv:
         roundup = lambda n, q: ((max(int(n), 1) + q - 1) // q) * q
 
         def levels(cap):
-            # Small tables are cheap — levelling them would drag envs into
-            # expensive classes over a handful of rows, so every level gets at
-            # least min(cap, 48) rows.
+            # Geometric ladder (ratio 1.6 beats powers of two: padding an env
+            # one class up costs ratio-1 extra work). Small tables are cheap —
+            # levelling them would drag envs into expensive classes over a
+            # handful of rows, so every level gets at least min(cap, 48) rows.
             out = []
             for k in range(K):
-                frac = max(cap / (2 ** (K - 1 - k)), min(cap, 48))
+                frac = max(cap / (1.6 ** (K - 1 - k)), min(cap, 48))
                 out.append(min(cap, roundup(frac, 8)))
             return out
 
