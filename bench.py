@@ -22,15 +22,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 from megaverse_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
-# Default renderer for benchmarking: one fused XLA program per step. The
-# Pallas kernel is faster per-frame on real TPUs, but on this container's
-# tunneled dev TPU a Pallas call in a dependent chain costs ~100 ms latency
-# per step (see README / ops docs); override with MEGAVERSE_RENDERER.
-os.environ.setdefault("MEGAVERSE_RENDERER", "unroll")
+# Renderer selection is automatic (VectorEnv._pick_backend): tiny scenes fuse
+# the unrolled XLA renderer into the step program; heavy scenes use the
+# cluster-culled Pallas kernel off the sim dependency chain. Override with
+# MEGAVERSE_RENDERER.
 
 import numpy as np
 
-BASELINE_EMPTY_FPS = 75_000.0
+# Per-scenario reference throughput (BASELINE.md: 64 envs / 1 agent / Vulkan
+# on a 10-core i9 + GPU, README.md:243-247). Scenarios without a published
+# number fall back to the Empty figure.
+BASELINE_FPS = {"empty": 75_000.0, "collect": 27_000.0}
+BASELINE_EMPTY_FPS = BASELINE_FPS["empty"]
 
 
 def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
@@ -104,11 +107,12 @@ def main() -> None:
     fps = bench_scenario(scenario, num_envs=num_envs, num_agents=args.num_agents,
                          n_devices=args.n_devices)
 
+    base = BASELINE_FPS.get(scenario.lower(), BASELINE_EMPTY_FPS)
     print(json.dumps({
         "metric": f"obs_per_sec_{scenario.lower()}_{num_envs}env",
         "value": round(fps, 1),
         "unit": "obs/s@128x72",
-        "vs_baseline": round(fps / BASELINE_EMPTY_FPS, 3),
+        "vs_baseline": round(fps / base, 3),
     }))
 
 

@@ -268,10 +268,16 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
         )(states)
 
     if backend == "pallas":
+        import os
+
         cams = jax.vmap(
             lambda s, tf: RP.build_cams(cfg, s.agents, tf))(states, remaining)
-        packed = RP.render_packed(cams, make_prims(states),
-                                  cfg.obs_height, cfg.obs_width)
+        prims = make_prims(states)
+        clusters = None
+        if not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
+            prims, clusters = jax.vmap(RP.build_clusters)(prims)
+        packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width,
+                                  clusters=clusters)
     elif backend == "unroll":
         # Trace-time-unrolled XLA renderer: fastest for small scenes; compile
         # time grows with primitive count (use for benchmark scenarios).

@@ -42,6 +42,18 @@ INF = 1e30
 TILE_H = 8
 TILE_W = 128
 
+# Cluster culling: prim-table rows are grouped into clusters of CLUSTER_K
+# consecutive rows with a conservative cluster AABB. Per 8x128 ray tile the
+# kernel slab-tests the cluster AABB (also against the tile's current
+# closest-hit depths — occlusion pruning) and skips all K intersection
+# routines when no ray can produce a closer hit. The analogue of the tile
+# binning a GPU rasterizer gets from its hardware scan converter; on heavy
+# scenes (Collect terrain ~500 rows) most clusters miss most tiles.
+CLUSTER_K = 8
+# Conservative bound radius of the eye box: |offset| + |half extents|
+# (0.19 + 0.342) — valid for every yaw/pitch.
+_EYE_BOUND = 0.54
+
 PRIM_AABB = 0
 PRIM_ELLIPSOID = 1
 PRIM_CYLINDER = 2
@@ -54,7 +66,12 @@ _EYE_HALF = (0.25, 0.12, 0.2)
 _EYE_OFFSET = (0.0, 0.0, -0.19)
 
 
-def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
+def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
+                   cluster_k=0):
+    if cluster_k:
+        clusters_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     # ---- camera scalars ----
     agent = pl.program_id(1)
     ex = cam_ref[0, agent, 0]
@@ -314,7 +331,50 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
 
     zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (zero + INF, zero, zero, zero, zero, zero, zero)
-    t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(0, num_prims, body, init)
+    if cluster_k:
+        # Outer loop over clusters; the cluster AABB is slab-tested against
+        # the whole tile INCLUDING the current closest-hit depths, and the K
+        # per-row intersection routines run only if some ray could still
+        # produce a closer hit (frustum + occlusion culling in one test).
+        def cluster_body(g, carry):
+            bt = carry[0]
+            lo0 = clusters_ref[0, g, 0]
+            lo1 = clusters_ref[0, g, 1]
+            lo2 = clusters_ref[0, g, 2]
+            hi0 = clusters_ref[0, g, 3]
+            hi1 = clusters_ref[0, g, 4]
+            hi2 = clusters_ref[0, g, 5]
+            t1x = lo0 * ix - exix
+            t2x = hi0 * ix - exix
+            t1y = lo1 * iy - eyiy
+            t2y = hi1 * iy - eyiy
+            t1z = lo2 * iz - eziz
+            t2z = hi2 * iz - eziz
+            tmin = jnp.maximum(jnp.minimum(t1x, t2x),
+                               jnp.maximum(jnp.minimum(t1y, t2y),
+                                           jnp.minimum(t1z, t2z)))
+            tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                               jnp.minimum(jnp.maximum(t1y, t2y),
+                                           jnp.maximum(t1z, t2z)))
+            # No tmin > near condition: a camera inside the cluster AABB
+            # (tmin < 0) must still process it. The 0.01 slack absorbs float
+            # rounding between the slab products here and the per-type
+            # intersection routines (a quadric's true hit can land an ulp
+            # below the cluster entry); t <= far = 120, so the slack costs
+            # nothing in culling power but keeps culling bit-exact.
+            reachable = (tmax >= tmin) & (tmax > 0.0) & (tmin < bt + 0.01)
+
+            def process(c):
+                for j in range(cluster_k):
+                    c = body(g * cluster_k + j, c)
+                return c
+
+            return jax.lax.cond(jnp.any(reachable), process, lambda c: c, carry)
+
+        t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(
+            0, num_prims // cluster_k, cluster_body, init)
+    else:
+        t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(0, num_prims, body, init)
 
     # ---- shading (Blinn-Phong, light (0,4,2) x 0.66, shininess 300) ----
     px = ex + t * dx
@@ -355,29 +415,92 @@ def _render_kernel(cam_ref, prims_ref, out_ref, *, height, width, num_prims):
     out_ref[0, 0] = (to8(r) << 16) | (to8(g) << 8) | to8(b)
 
 
-def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int) -> jax.Array:
-    """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W]."""
+def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
+                  clusters: jax.Array | None = None,
+                  interpret: bool = False) -> jax.Array:
+    """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W].
+
+    With `clusters` [B, M // CLUSTER_K, 8] (from build_clusters, which also
+    pads the table), the kernel skips whole row groups per tile when the
+    cluster AABB cannot beat the tile's current closest hits."""
     bsz, num_agents, _ = cams.shape
     num_prims = prims.shape[1]
     assert height % TILE_H == 0 and width == TILE_W, (height, width)
 
+    cluster_k = 0
+    inputs = [cams, prims]
+    in_specs = [
+        pl.BlockSpec((1, num_agents, 8), lambda b, a, h: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, num_prims, 16), lambda b, a, h: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if clusters is not None:
+        cluster_k = CLUSTER_K
+        assert num_prims % cluster_k == 0, (num_prims, cluster_k)
+        assert clusters.shape[1] == num_prims // cluster_k
+        inputs.append(clusters)
+        in_specs.append(
+            pl.BlockSpec((1, clusters.shape[1], 8), lambda b, a, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM))
+
     kernel = functools.partial(
-        _render_kernel, height=height, width=width, num_prims=num_prims
+        _render_kernel, height=height, width=width, num_prims=num_prims,
+        cluster_k=cluster_k,
     )
     return pl.pallas_call(
         kernel,
         grid=(bsz, num_agents, height // TILE_H),
-        in_specs=[
-            pl.BlockSpec((1, num_agents, 8), lambda b, a, h: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, num_prims, 16), lambda b, a, h: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, TILE_H, TILE_W),
                                lambda b, a, h: (b, a, h, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, num_agents, height, width), jnp.int32),
-    )(cams, prims)
+        interpret=interpret,
+    )(*inputs)
+
+
+def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
+    """Pad a prim table [M, 16] to a multiple of k rows and build the cluster
+    AABB table [M'/k, 8] (lo xyz, hi xyz, 2 pad). Per-row bounds are
+    conservative per type; dead rows (type < 0) take an inverted AABB so they
+    never inflate a live cluster, and all-dead clusters collapse to a far
+    point box (an inverted box fails the slab test only after min/max
+    normalization, which would *pass* it)."""
+    m = prims.shape[0]
+    pad = (-m) % k
+    if pad:
+        dead = jnp.zeros((pad, 16), prims.dtype).at[:, 0].set(-1.0)
+        prims = jnp.concatenate([prims, dead])
+    ptype = prims[:, 0].astype(jnp.int32)
+    a = prims[:, 1:4]
+    b = prims[:, 4:7]
+    c = prims[:, 10:13]
+
+    # Conservative half extents about center `a` for non-box rows.
+    quad_he = jnp.stack([b[:, 0], b[:, 2], b[:, 1]], axis=1)  # cyl/cone
+    rxz = jnp.sqrt(c[:, 0] ** 2 + c[:, 2] ** 2)
+    rot_he = jnp.stack([rxz, c[:, 1], rxz], axis=1)
+    he = jnp.where((ptype == PRIM_ELLIPSOID)[:, None], b, quad_he)
+    he = jnp.where((ptype == PRIM_EYEBOX)[:, None], _EYE_BOUND, he)
+    he = jnp.where((ptype == PRIM_ROTBOX)[:, None], rot_he, he)
+
+    is_box = (ptype == PRIM_AABB)[:, None]
+    lo = jnp.where(is_box, a, a - he)
+    hi = jnp.where(is_box, b, a + he)
+    dead = (ptype < 0)[:, None]
+    lo = jnp.where(dead, INF, lo)
+    hi = jnp.where(dead, -INF, hi)
+
+    g = prims.shape[0] // k
+    clo = lo.reshape(g, k, 3).min(axis=1)
+    chi = hi.reshape(g, k, 3).max(axis=1)
+    empty = chi[:, :1] < clo[:, :1]
+    clo = jnp.where(empty, INF, clo)
+    chi = jnp.where(empty, INF, chi)
+    clusters = jnp.concatenate(
+        [clo, chi, jnp.zeros((g, 2), jnp.float32)], axis=1)
+    return prims, clusters
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,7 @@ class VectorEnv:
         self._hw_boxes = 0
         segs = self.scenario.cfg.prop_segments
         self._hw_props = [0] * len(segs) if segs else 0
+        self._backend = self._pick_backend()
         self._init_render_classes()
         self._build_render_fns()
 
@@ -126,13 +127,34 @@ class VectorEnv:
         return jnp.asarray(x)
 
     # ---------------------------------------------------------------- renderer
+    def _pick_backend(self) -> str:
+        """Renderer backend for this env's scenario. MEGAVERSE_RENDERER wins;
+        otherwise on TPU heavy scenes use the cluster-culled Pallas kernel
+        (skips most primitive rows per ray tile; measured ~3x over the
+        unrolled XLA form on Collect) while tiny scenes stay on the unrolled
+        XLA renderer, which fuses into the step program and avoids per-call
+        kernel dispatch (Empty: ~5x over the Pallas path)."""
+        import os
+
+        env = os.environ.get("MEGAVERSE_RENDERER")
+        if env:
+            return env
+        if jax.default_backend() != "tpu":
+            return "xla"
+        cfg = self.scenario.cfg
+        seg_caps = ([cap for _, _, cap in cfg.prop_segments]
+                    if cfg.prop_segments else [int(cfg.max_props)])
+        total_rows = int(self.scenario.max_boxes) + sum(seg_caps)
+        return "pallas" if total_rows >= self._CLASS_MIN_ROWS else "unroll"
+
     def _build_render_fns(self) -> None:
         """(Re)jit every render-dependent program for the current bucket."""
         scen, fmt, bucket = self.scenario, self.obs_format, self._bucket
         do_render = self.render_obs
+        backend = self._backend
 
         def _render(s):
-            return render_batch(scen, s, fmt=fmt, bucket=bucket)
+            return render_batch(scen, s, fmt=fmt, bucket=bucket, backend=backend)
 
         def _step_render(state, next_scenes, action, shaping):
             res = self._vstep_inner(state, next_scenes, action, shaping)
@@ -278,7 +300,8 @@ class VectorEnv:
 
                 def f(view, idx, _bucket=bucket):
                     sub = jax.tree.map(lambda x: x[idx], view)
-                    return render_batch(scen, sub, fmt=fmt, bucket=_bucket)
+                    return render_batch(scen, sub, fmt=fmt, bucket=_bucket,
+                                        backend=self._backend)
 
                 self._cls_render_fns[key] = jax.jit(f)
             parts.append(self._cls_render_fns[key](view, idx))
@@ -443,14 +466,12 @@ class VectorEnv:
             actions = multidiscrete_to_bitmask(actions)
         actions = self._put(actions.astype(jnp.int32))
 
-        from megaverse_tpu.env import renderer_backend
-
         if self.render_obs and self._use_classes:
             result = self._vstep_sim(self.state, self.next_scenes, actions,
                                      self.shaping)
             self.state = result.state
             obs = self._render_classes(result.state)
-        elif self.render_obs and renderer_backend() == "pallas":
+        elif self.render_obs and self._backend == "pallas":
             # keep the Pallas render off the sim dependency chain (high
             # per-dispatch latency on tunneled dev TPUs)
             result = self._vstep_sim(self.state, self.next_scenes, actions,
@@ -502,9 +523,7 @@ class VectorEnv:
         if os.environ.get("MEGAVERSE_SCAN_STEPS") == "1":
             return self._step_many_scan(jnp.asarray(action_pool, jnp.int32), n_steps)
 
-        from megaverse_tpu.env import renderer_backend
-
-        split = renderer_backend() == "pallas" or self._use_classes
+        split = self._backend == "pallas" or self._use_classes
         if not split and not hasattr(self, "_chunk_fused"):
             def fused(state, next_scenes, action, shaping, pending):
                 res = self._step_render(state, next_scenes, action, shaping)

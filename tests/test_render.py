@@ -94,6 +94,73 @@ def test_overview_camera_shows_agent_body():
     assert close.any(), "agent body not visible from overview camera"
 
 
+def test_pallas_cluster_cull_is_exact():
+    """The cluster-culled Pallas kernel (interpret mode) must produce exactly
+    the same packed pixels as the unculled kernel and the XLA table backend:
+    culling may only skip primitives that cannot beat the current closest
+    hit."""
+    env = _env_state(name="Collect", num_envs=2, num_agents=2, steps=3)
+    st = env.state
+    cfg = env.scenario.cfg
+    remaining = jnp.maximum(
+        0.0, (st.episode_len_sec - st.episode_sec) / st.episode_len_sec)
+    prims = jax.vmap(
+        lambda s: RP.build_prim_table(
+            cfg, s.box_lo, s.box_hi, s.box_color, s.props, s.agents)
+    )(st)
+    cams = jax.vmap(lambda s, tf: RP.build_cams(cfg, s.agents, tf))(
+        st, remaining)
+
+    plain = np.asarray(RP.render_packed(
+        cams, prims, cfg.obs_height, cfg.obs_width, interpret=True))
+    prims_p, clusters = jax.vmap(RP.build_clusters)(prims)
+    culled = np.asarray(RP.render_packed(
+        cams, prims_p, cfg.obs_height, cfg.obs_width, clusters=clusters,
+        interpret=True))
+    np.testing.assert_array_equal(culled, plain)
+
+    # Cross-backend (kernel vs XLA table): same math, but interpret-mode op
+    # ordering can differ by an ulp on hit-boundary pixels — allow isolated
+    # one-step channel deltas, nothing more.
+    table = np.asarray(jax.vmap(
+        lambda s, p, tf: R.render_table_packed(cfg, s.agents, p, tf)
+    )(st, prims, remaining))
+    unpack = lambda p: np.stack(
+        [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF], -1).astype(np.int32)
+    delta = np.abs(unpack(plain) - unpack(table))
+    assert (delta <= 1).all(), f"max channel delta {delta.max()}"
+    assert (delta != 0).mean() < 1e-4, f"diff fraction {(delta != 0).mean()}"
+
+
+def test_cluster_table_bounds_are_conservative():
+    """Every live row's exact hit distances must be reachable through its
+    cluster AABB: shrink-proof check on randomly sampled rays."""
+    env = _env_state(name="Rearrange", num_envs=1, num_agents=2, steps=2)
+    st = jax.tree.map(lambda x: x[0], env.state)
+    cfg = env.scenario.cfg
+    prims = RP.build_prim_table(
+        cfg, st.box_lo, st.box_hi, st.box_color, st.props, st.agents)
+    prims_p, clusters = RP.build_clusters(prims)
+    prims_np = np.asarray(prims_p)
+    cl = np.asarray(clusters)
+    k = RP.CLUSTER_K
+    for g in range(cl.shape[0]):
+        rows = prims_np[g * k:(g + 1) * k]
+        live = rows[rows[:, 0] >= 0]
+        if live.size == 0:
+            continue
+        lo, hi = cl[g, :3], cl[g, 3:6]
+        assert (lo <= hi).all()
+        for row in live:
+            c = row[1:4]
+            if int(row[0]) == RP.PRIM_AABB:
+                assert (row[1:4] >= lo - 1e-4).all(), (g, row)
+                assert (row[4:7] <= hi + 1e-4).all(), (g, row)
+            else:
+                # center must lie inside the cluster box
+                assert (c >= lo - 1e-4).all() and (c <= hi + 1e-4).all(), (g, row)
+
+
 def test_pow_shininess_matches_float_pow():
     x = jnp.linspace(0.0, 1.0, 1000)
     got = np.asarray(R.pow_shininess(x))
