@@ -67,8 +67,10 @@ _EYE_OFFSET = (0.0, 0.0, -0.19)
 
 
 def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
-                   cluster_k=0):
-    if cluster_k:
+                   cluster_k=0, sorted_order=False):
+    if cluster_k and sorted_order:
+        clusters_ref, order_ref, out_ref = rest
+    elif cluster_k:
         clusters_ref, out_ref = rest
     else:
         (out_ref,) = rest
@@ -292,8 +294,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         return t, wx, nly, wz
 
     # ---- primitive loop ----
-    def body(i, carry):
-        bt, bnx, bny, bnz, br, bg, bb = carry
+    def row_hit(i):
         ptype = prims_ref[0, i, 0].astype(jnp.int32)
         a0 = prims_ref[0, i, 1]
         a1 = prims_ref[0, i, 2]
@@ -317,10 +318,34 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 lambda: prim_rotbox(a0, a1, a2, b0, c0_, c1_, c2_),
             ],
         )
-        t = jnp.where(ptype >= 0, t, INF)
+        return jnp.where(ptype >= 0, t, INF), nx, ny, nz
+
+    def body(i, carry):
+        bt, bnx, bny, bnz, br, bg, bb = carry
+        t, nx, ny, nz = row_hit(i)
         closer = t < bt
         return (
             jnp.where(closer, t, bt),
+            jnp.where(closer, nx, bnx),
+            jnp.where(closer, ny, bny),
+            jnp.where(closer, nz, bnz),
+            jnp.where(closer, prims_ref[0, i, 7], br),
+            jnp.where(closer, prims_ref[0, i, 8], bg),
+            jnp.where(closer, prims_ref[0, i, 9], bb),
+        )
+
+    def body_tiebreak(i, carry):
+        # Variant carrying the winning row index: ties (t == bt) resolve to
+        # the LOWEST row index, which is exactly what in-order traversal's
+        # strict `t < bt` produces — so any cluster traversal order yields
+        # the bit-identical image.
+        bt, bidx, bnx, bny, bnz, br, bg, bb = carry
+        t, nx, ny, nz = row_hit(i)
+        ii = jnp.full_like(bidx, 0) + i
+        closer = (t < bt) | ((t == bt) & (ii < bidx))
+        return (
+            jnp.where(closer, t, bt),
+            jnp.where(closer, ii, bidx),
             jnp.where(closer, nx, bnx),
             jnp.where(closer, ny, bny),
             jnp.where(closer, nz, bnz),
@@ -336,8 +361,13 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         # the whole tile INCLUDING the current closest-hit depths, and the K
         # per-row intersection routines run only if some ray could still
         # produce a closer hit (frustum + occlusion culling in one test).
+        # With sorted_order, clusters are visited front-to-back per agent
+        # (order_ref from sort_clusters), so near geometry tightens the depth
+        # planes before far clusters are tested — most then skip outright.
         def cluster_body(g, carry):
             bt = carry[0]
+            if sorted_order:
+                g = order_ref[0, agent, g]
             lo0 = clusters_ref[0, g, 0]
             lo1 = clusters_ref[0, g, 1]
             lo2 = clusters_ref[0, g, 2]
@@ -364,15 +394,23 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             # nothing in culling power but keeps culling bit-exact.
             reachable = (tmax >= tmin) & (tmax > 0.0) & (tmin < bt + 0.01)
 
+            row_body = body_tiebreak if sorted_order else body
+
             def process(c):
                 for j in range(cluster_k):
-                    c = body(g * cluster_k + j, c)
+                    c = row_body(g * cluster_k + j, c)
                 return c
 
             return jax.lax.cond(jnp.any(reachable), process, lambda c: c, carry)
 
-        t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(
-            0, num_prims // cluster_k, cluster_body, init)
+        if sorted_order:
+            init_s = (init[0], jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
+                      *init[1:])
+            t, _, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(
+                0, num_prims // cluster_k, cluster_body, init_s)
+        else:
+            t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(
+                0, num_prims // cluster_k, cluster_body, init)
     else:
         t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(0, num_prims, body, init)
 
@@ -417,12 +455,16 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
 
 def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                   clusters: jax.Array | None = None,
+                  order: jax.Array | None = None,
                   interpret: bool = False) -> jax.Array:
     """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W].
 
     With `clusters` [B, M // CLUSTER_K, 8] (from build_clusters, which also
     pads the table), the kernel skips whole row groups per tile when the
-    cluster AABB cannot beat the tile's current closest hits."""
+    cluster AABB cannot beat the tile's current closest hits. With `order`
+    [B, A, G] int32 (from sort_clusters), clusters are traversed
+    front-to-back per agent; the row-index tie-break keeps the image
+    bit-identical to in-table-order traversal."""
     bsz, num_agents, _ = cams.shape
     num_prims = prims.shape[1]
     assert height % TILE_H == 0 and width == TILE_W, (height, width)
@@ -443,10 +485,17 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
         in_specs.append(
             pl.BlockSpec((1, clusters.shape[1], 8), lambda b, a, h: (b, 0, 0),
                          memory_space=pltpu.VMEM))
+        if order is not None:
+            assert order.shape == (bsz, num_agents, clusters.shape[1])
+            inputs.append(order)
+            in_specs.append(
+                pl.BlockSpec((1, num_agents, clusters.shape[1]),
+                             lambda b, a, h: (b, 0, 0),
+                             memory_space=pltpu.SMEM))
 
     kernel = functools.partial(
         _render_kernel, height=height, width=width, num_prims=num_prims,
-        cluster_k=cluster_k,
+        cluster_k=cluster_k, sorted_order=order is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -501,6 +550,19 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
     clusters = jnp.concatenate(
         [clo, chi, jnp.zeros((g, 2), jnp.float32)], axis=1)
     return prims, clusters
+
+
+def sort_clusters(cams: jax.Array, clusters: jax.Array) -> jax.Array:
+    """Front-to-back cluster visit order per agent: argsort of the squared
+    distance from the camera eye to the closest point of each cluster AABB.
+    cams [B, A, 8], clusters [B, G, 8] -> int32 [B, A, G]. Dead clusters
+    (point box at +INF) sort last."""
+    eye = cams[:, :, None, :3]                      # [B, A, 1, 3]
+    lo = clusters[:, None, :, 0:3]                  # [B, 1, G, 3]
+    hi = clusters[:, None, :, 3:6]
+    d = jnp.maximum(jnp.maximum(lo - eye, eye - hi), 0.0)
+    key = jnp.sum(d * d, axis=-1)                   # [B, A, G]
+    return jnp.argsort(key, axis=-1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,22 @@ def test_pallas_cluster_cull_is_exact():
         interpret=True))
     np.testing.assert_array_equal(culled, plain)
 
+    # Front-to-back traversal must also be bit-exact (row-index tie-break).
+    order = RP.sort_clusters(cams, clusters)
+    srt = np.asarray(RP.render_packed(
+        cams, prims_p, cfg.obs_height, cfg.obs_width, clusters=clusters,
+        order=order, interpret=True))
+    np.testing.assert_array_equal(srt, plain)
+    # ...regardless of the visit order chosen.
+    rng2 = np.random.default_rng(1)
+    perm = jnp.asarray(np.stack(
+        [np.stack([rng2.permutation(clusters.shape[1]) for _ in range(2)])
+         for _ in range(2)]).astype(np.int32))
+    shuf = np.asarray(RP.render_packed(
+        cams, prims_p, cfg.obs_height, cfg.obs_width, clusters=clusters,
+        order=perm, interpret=True))
+    np.testing.assert_array_equal(shuf, plain)
+
     # Cross-backend (kernel vs XLA table): same math, but interpret-mode op
     # ordering can differ by an ulp on hit-boundary pixels — allow isolated
     # one-step channel deltas, nothing more.
