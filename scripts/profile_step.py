@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/megaverse_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("MEGAVERSE_RENDERER", "unroll")
+# Renderer backend follows VectorEnv's automatic pick; set MEGAVERSE_RENDERER
+# to profile a specific one.
 
 from megaverse_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
@@ -35,6 +36,9 @@ def main() -> None:
     p.add_argument("--num_envs", type=int, default=4096)
     p.add_argument("--num_agents", type=int, default=1)
     p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler trace of the timed section "
+                        "(view with xprof/tensorboard)")
     args = p.parse_args()
 
     from megaverse_tpu.vector_env import VectorEnv
@@ -56,14 +60,23 @@ def main() -> None:
 
     state0 = env.state
 
+    import contextlib
+
+    def trace_cm(name):
+        if not args.trace_dir:
+            return contextlib.nullcontext()
+        return jax.profiler.trace(
+            os.path.join(args.trace_dir, name.split()[0]))
+
     def timeit(name, fn, *fargs):
         out = fn(*fargs)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            out = fn(*fargs)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.steps
+        with trace_cm(name):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out = fn(*fargs)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / args.steps
         fps = args.num_envs * args.num_agents / dt
         print(f"{name:28s} {dt*1e3:9.3f} ms/step   {fps:12.0f} obs/s-equivalent")
         return dt
@@ -96,7 +109,7 @@ def main() -> None:
     t_fused = timeit("fused sim+render+sum", fused_chain, state0)
 
     print(f"\nbucket={env._bucket}  backend={jax.default_backend()}  "
-          f"renderer={os.environ.get('MEGAVERSE_RENDERER')}")
+          f"renderer={env._backend}")
     print(f"sim {t_sim*1e3:.2f} + render {t_render*1e3:.2f} "
           f"≈ fused {t_fused*1e3:.2f} ms")
 

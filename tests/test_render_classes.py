@@ -62,3 +62,22 @@ def test_classes_multi_group_collect():
     f_cls, _, used, groups = _rollout("Collect", True, steps=3, seed=13)
     assert used and len(groups) >= 2
     np.testing.assert_array_equal(f_full, f_cls)
+
+
+def test_backend_auto_pick(monkeypatch):
+    """Heavy scenes pick the cluster-culled Pallas kernel on TPU, tiny scenes
+    the fused unrolled XLA renderer; MEGAVERSE_RENDERER always wins."""
+    import jax as _jax
+    import megaverse_tpu.vector_env as VE
+
+    built = VectorEnv("Empty", num_envs=2, num_agents_per_env=1, render=False)
+    assert built._backend == "xla"  # CPU backend in tests
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert VectorEnv("Empty", num_envs=2, render=False,
+                     num_agents_per_env=1)._backend == "unroll"
+    assert VectorEnv("Collect", num_envs=2, render=False,
+                     num_agents_per_env=1)._backend == "pallas"
+    monkeypatch.setenv("MEGAVERSE_RENDERER", "xla")
+    assert VectorEnv("Collect", num_envs=2, render=False,
+                     num_agents_per_env=1)._backend == "xla"
