@@ -383,11 +383,15 @@ class VectorEnv:
 
     # --------------------------------------------------------------- prefetch
     # Layout generation is host-side numpy; at high throughput the synchronous
-    # refill serializes it between device chunks. A single worker thread
-    # pre-generates each env's NEXT layouts while the device runs: per-env
-    # streams are deterministic and consumed in order, and all generation for
-    # an env happens in submission order on one worker, so results are
-    # bit-identical to synchronous generation.
+    # refill serializes it between device chunks. A small worker pool
+    # pre-generates each env's NEXT layouts while the device runs. Determinism
+    # does not depend on scheduling: each env owns its generator stream, and at
+    # most one task per env is ever in flight (_pop_scene resolves the queued
+    # future before submitting the next), so every env's layouts are produced
+    # in consumption order — bit-identical to synchronous generation. The
+    # heaviest scenario generates ~110 layouts/s/thread (ObstaclesHard), i.e.
+    # ~130k env-steps/s sustained per thread; the pool keeps multi-chip
+    # sampling ahead of that.
     def _reset_prefetch(self) -> None:
         import os
         from collections import deque
@@ -400,8 +404,10 @@ class VectorEnv:
             return
         from concurrent.futures import ThreadPoolExecutor
 
+        workers = int(os.environ.get(
+            "MEGAVERSE_GEN_THREADS", min(4, os.cpu_count() or 1)))
         self._prefetch_pool = ThreadPoolExecutor(
-            1, thread_name_prefix="megaverse-gen")
+            workers, thread_name_prefix="megaverse-gen")
         self._prefetch_q = [deque() for _ in range(self.num_envs)]
 
     def _gen_scene(self, i: int):

@@ -149,3 +149,32 @@ def test_sharded_batch_matches_single_device():
     f8, r8 = rollout(sharding)
     assert np.array_equal(f1, f8)
     assert np.array_equal(r1, r8)
+
+
+def test_prefetch_pool_is_deterministic(monkeypatch):
+    """Multi-worker layout prefetch must be bit-identical to synchronous
+    generation: per-env streams are consumed in order with at most one task in
+    flight per env, so scheduling cannot reorder them. Short episodes force
+    several refills through the pool."""
+    def run(no_prefetch):
+        if no_prefetch:
+            monkeypatch.setenv("MEGAVERSE_NO_PREFETCH", "1")
+        else:
+            monkeypatch.delenv("MEGAVERSE_NO_PREFETCH", raising=False)
+            monkeypatch.setenv("MEGAVERSE_GEN_THREADS", "4")
+        # Sokoban honors episodeLengthSec directly (Collect/Hex/Tower extend
+        # it per reward object), so 1.0 s -> a reset every 15 steps.
+        env = VectorEnv("Sokoban", num_envs=4, num_agents_per_env=1, seed=21,
+                        params={C.P_EPISODE_LENGTH_SEC: 1.0})
+        frames = [np.asarray(env.reset())]
+        act = np.full((4, 1), C.ACTION_FORWARD, np.int32)
+        resets = 0
+        for _ in range(40):
+            obs, _, done, _ = env.step(act)
+            frames.append(np.asarray(obs))
+            resets += int(np.asarray(done).sum())
+        env.close()
+        assert resets >= 8, resets  # refills actually flowed through the pool
+        return np.stack(frames)
+
+    np.testing.assert_array_equal(run(True), run(False))
