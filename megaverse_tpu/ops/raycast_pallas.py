@@ -528,8 +528,11 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
 
     # Conservative half extents about center `a` for non-box rows.
     quad_he = jnp.stack([b[:, 0], b[:, 2], b[:, 1]], axis=1)  # cyl/cone
-    rxz = jnp.sqrt(c[:, 0] ** 2 + c[:, 2] ** 2)
-    rot_he = jnp.stack([rxz, c[:, 1], rxz], axis=1)
+    # y-rotated box: exact world AABB of the rotated extents (b[:,0] = yaw).
+    cy, sy = jnp.abs(jnp.cos(b[:, 0])), jnp.abs(jnp.sin(b[:, 0]))
+    rot_he = jnp.stack(
+        [c[:, 0] * cy + c[:, 2] * sy, c[:, 1], c[:, 0] * sy + c[:, 2] * cy],
+        axis=1)
     he = jnp.where((ptype == PRIM_ELLIPSOID)[:, None], b, quad_he)
     he = jnp.where((ptype == PRIM_EYEBOX)[:, None], _EYE_BOUND, he)
     he = jnp.where((ptype == PRIM_ROTBOX)[:, None], rot_he, he)

@@ -94,12 +94,13 @@ def test_overview_camera_shows_agent_body():
     assert close.any(), "agent body not visible from overview camera"
 
 
-def test_pallas_cluster_cull_is_exact():
+@pytest.mark.parametrize("scenario", ["Collect", "HexMemory"])
+def test_pallas_cluster_cull_is_exact(scenario):
     """The cluster-culled Pallas kernel (interpret mode) must produce exactly
     the same packed pixels as the unculled kernel and the XLA table backend:
     culling may only skip primitives that cannot beat the current closest
-    hit."""
-    env = _env_state(name="Collect", num_envs=2, num_agents=2, steps=3)
+    hit. HexMemory covers rotated-box walls + cylinder/cone/sphere props."""
+    env = _env_state(name=scenario, num_envs=2, num_agents=2, steps=3)
     st = env.state
     cfg = env.scenario.cfg
     remaining = jnp.maximum(
