@@ -273,13 +273,15 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
         cams = jax.vmap(
             lambda s, tf: RP.build_cams(cfg, s.agents, tf))(states, remaining)
         prims = make_prims(states)
-        clusters = order = None
+        clusters = order = dist = None
         if not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
             prims, clusters = jax.vmap(RP.build_clusters)(prims)
             if not os.environ.get("MEGAVERSE_NO_CLUSTER_SORT"):
-                order = RP.sort_clusters(cams, clusters)
+                order, dist = RP.sort_clusters(cams, clusters)
+                if os.environ.get("MEGAVERSE_NO_EARLY_EXIT"):
+                    dist = None
         packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width,
-                                  clusters=clusters, order=order)
+                                  clusters=clusters, order=order, dist=dist)
     elif backend == "unroll":
         # Trace-time-unrolled XLA renderer: fastest for small scenes; compile
         # time grows with primitive count (use for benchmark scenarios).

@@ -67,8 +67,10 @@ _EYE_OFFSET = (0.0, 0.0, -0.19)
 
 
 def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
-                   cluster_k=0, sorted_order=False):
-    if cluster_k and sorted_order:
+                   cluster_k=0, sorted_order=False, early_exit=False):
+    if cluster_k and sorted_order and early_exit:
+        clusters_ref, order_ref, dist_ref, out_ref = rest
+    elif cluster_k and sorted_order:
         clusters_ref, order_ref, out_ref = rest
     elif cluster_k:
         clusters_ref, out_ref = rest
@@ -403,14 +405,43 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
 
             return jax.lax.cond(jnp.any(reachable), process, lambda c: c, carry)
 
-        if sorted_order:
+        num_groups = num_prims // cluster_k
+        if sorted_order and early_exit:
+            # Early ray termination. Clusters arrive front-to-back and
+            # dist_ref[agent, g] is a lower bound on any hit distance from
+            # cluster order[g] (ascending). Once every ray in the tile has a
+            # hit STRICTLY closer than that bound, no remaining cluster can
+            # change any pixel: a new hit would satisfy
+            # t >= dist[g] > max(bt) >= bt, so `t < bt` is false and the
+            # tie-break `t == bt` is impossible. The depth carry starts at the
+            # far plane (not +INF) so sky tiles terminate once the remaining
+            # clusters are beyond the far plane; a hit at t >= far renders as
+            # sky either way (miss test is t >= far), so the image is
+            # bit-identical.
+            init_e = (jnp.int32(0),
+                      zero + np.float32(C.CAMERA_FAR),
+                      jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
+                      *init[1:])
+
+            def w_cond(state):
+                g, bt = state[0], state[1]
+                gi = jnp.minimum(g, num_groups - 1)
+                return (g < num_groups) & (jnp.max(bt) >= dist_ref[0, agent, gi])
+
+            def w_body(state):
+                carry = cluster_body(state[0], state[1:])
+                return (state[0] + 1, *carry)
+
+            _, t, _, nx, ny, nz, cr, cg, cb = jax.lax.while_loop(
+                w_cond, w_body, init_e)
+        elif sorted_order:
             init_s = (init[0], jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
                       *init[1:])
             t, _, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(
-                0, num_prims // cluster_k, cluster_body, init_s)
+                0, num_groups, cluster_body, init_s)
         else:
             t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(
-                0, num_prims // cluster_k, cluster_body, init)
+                0, num_groups, cluster_body, init)
     else:
         t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(0, num_prims, body, init)
 
@@ -456,6 +487,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
 def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                   clusters: jax.Array | None = None,
                   order: jax.Array | None = None,
+                  dist: jax.Array | None = None,
                   interpret: bool = False) -> jax.Array:
     """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W].
 
@@ -464,7 +496,11 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
     cluster AABB cannot beat the tile's current closest hits. With `order`
     [B, A, G] int32 (from sort_clusters), clusters are traversed
     front-to-back per agent; the row-index tie-break keeps the image
-    bit-identical to in-table-order traversal."""
+    bit-identical to in-table-order traversal. With `dist` [B, A, G] f32
+    (sort_clusters' second output: ascending hit-distance lower bounds for
+    the ordered clusters), the per-tile loop additionally TERMINATES as soon
+    as every ray's closest hit is strictly nearer than the next cluster's
+    bound — `dist` must correspond to `order` or the image is wrong."""
     bsz, num_agents, _ = cams.shape
     num_prims = prims.shape[1]
     assert height % TILE_H == 0 and width == TILE_W, (height, width)
@@ -492,10 +528,18 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                 pl.BlockSpec((1, num_agents, clusters.shape[1]),
                              lambda b, a, h: (b, 0, 0),
                              memory_space=pltpu.SMEM))
+            if dist is not None:
+                assert dist.shape == order.shape
+                inputs.append(dist)
+                in_specs.append(
+                    pl.BlockSpec((1, num_agents, clusters.shape[1]),
+                                 lambda b, a, h: (b, 0, 0),
+                                 memory_space=pltpu.SMEM))
 
     kernel = functools.partial(
         _render_kernel, height=height, width=width, num_prims=num_prims,
         cluster_k=cluster_k, sorted_order=order is not None,
+        early_exit=order is not None and dist is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -555,17 +599,25 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
     return prims, clusters
 
 
-def sort_clusters(cams: jax.Array, clusters: jax.Array) -> jax.Array:
+def sort_clusters(cams: jax.Array, clusters: jax.Array):
     """Front-to-back cluster visit order per agent: argsort of the squared
     distance from the camera eye to the closest point of each cluster AABB.
-    cams [B, A, 8], clusters [B, G, 8] -> int32 [B, A, G]. Dead clusters
-    (point box at +INF) sort last."""
+    cams [B, A, 8], clusters [B, G, 8] -> (order int32 [B, A, G],
+    dist f32 [B, A, G]). Dead clusters (point box at +INF) sort last.
+
+    `dist[b, a, g]` is the eye distance to the closest point of cluster
+    `order[b, a, g]`'s AABB — a lower bound on any ray-hit parameter t from
+    that cluster (ray directions are unit length), ascending in g. It drives
+    the kernel's early ray termination: once a tile's worst closest-hit is
+    strictly below dist[g], clusters g.. cannot contribute."""
     eye = cams[:, :, None, :3]                      # [B, A, 1, 3]
     lo = clusters[:, None, :, 0:3]                  # [B, 1, G, 3]
     hi = clusters[:, None, :, 3:6]
     d = jnp.maximum(jnp.maximum(lo - eye, eye - hi), 0.0)
     key = jnp.sum(d * d, axis=-1)                   # [B, A, G]
-    return jnp.argsort(key, axis=-1).astype(jnp.int32)
+    order = jnp.argsort(key, axis=-1).astype(jnp.int32)
+    dist = jnp.sqrt(jnp.take_along_axis(key, order, axis=-1))
+    return order, dist
 
 
 # ---------------------------------------------------------------------------

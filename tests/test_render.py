@@ -121,11 +121,18 @@ def test_pallas_cluster_cull_is_exact(scenario):
     np.testing.assert_array_equal(culled, plain)
 
     # Front-to-back traversal must also be bit-exact (row-index tie-break).
-    order = RP.sort_clusters(cams, clusters)
+    order, dist = RP.sort_clusters(cams, clusters)
     srt = np.asarray(RP.render_packed(
         cams, prims_p, cfg.obs_height, cfg.obs_width, clusters=clusters,
         order=order, interpret=True))
     np.testing.assert_array_equal(srt, plain)
+    # ...and early ray termination (front-to-back + per-cluster distance
+    # lower bounds + far-plane depth init) may only skip clusters that could
+    # never change a pixel.
+    ee = np.asarray(RP.render_packed(
+        cams, prims_p, cfg.obs_height, cfg.obs_width, clusters=clusters,
+        order=order, dist=dist, interpret=True))
+    np.testing.assert_array_equal(ee, plain)
     # ...regardless of the visit order chosen.
     rng2 = np.random.default_rng(1)
     perm = jnp.asarray(np.stack(
