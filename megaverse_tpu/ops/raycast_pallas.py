@@ -67,7 +67,8 @@ _EYE_OFFSET = (0.0, 0.0, -0.19)
 
 
 def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
-                   cluster_k=0, sorted_order=False, early_exit=False):
+                   cluster_k=0, sorted_order=False, early_exit=False,
+                   per_tile=False):
     if cluster_k and sorted_order and early_exit:
         clusters_ref, order_ref, dist_ref, out_ref = rest
     elif cluster_k and sorted_order:
@@ -369,7 +370,8 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         def cluster_body(g, carry):
             bt = carry[0]
             if sorted_order:
-                g = order_ref[0, agent, g]
+                g = (order_ref[0, 0, tile_row, g] if per_tile
+                     else order_ref[0, agent, g])
             lo0 = clusters_ref[0, g, 0]
             lo1 = clusters_ref[0, g, 1]
             lo2 = clusters_ref[0, g, 2]
@@ -426,7 +428,9 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             def w_cond(state):
                 g, bt = state[0], state[1]
                 gi = jnp.minimum(g, num_groups - 1)
-                return (g < num_groups) & (jnp.max(bt) >= dist_ref[0, agent, gi])
+                d = (dist_ref[0, 0, tile_row, gi] if per_tile
+                     else dist_ref[0, agent, gi])
+                return (g < num_groups) & (jnp.max(bt) >= d)
 
             def w_body(state):
                 carry = cluster_body(state[0], state[1:])
@@ -500,10 +504,15 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
     (sort_clusters' second output: ascending hit-distance lower bounds for
     the ordered clusters), the per-tile loop additionally TERMINATES as soon
     as every ray's closest hit is strictly nearer than the next cluster's
-    bound — `dist` must correspond to `order` or the image is wrong."""
+    bound — `dist` must correspond to `order` or the image is wrong.
+
+    order/dist may instead be PER-TILE lists [B, A, H/TILE_H, G] (from
+    frustum_cull): clusters outside a tile's view frustum carry dist=+INF and
+    sort last, so the loop never visits them at all."""
     bsz, num_agents, _ = cams.shape
     num_prims = prims.shape[1]
     assert height % TILE_H == 0 and width == TILE_W, (height, width)
+    per_tile = order is not None and order.ndim == 4
 
     cluster_k = 0
     inputs = [cams, prims]
@@ -522,24 +531,37 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
             pl.BlockSpec((1, clusters.shape[1], 8), lambda b, a, h: (b, 0, 0),
                          memory_space=pltpu.VMEM))
         if order is not None:
-            assert order.shape == (bsz, num_agents, clusters.shape[1])
-            inputs.append(order)
-            in_specs.append(
-                pl.BlockSpec((1, num_agents, clusters.shape[1]),
-                             lambda b, a, h: (b, 0, 0),
-                             memory_space=pltpu.SMEM))
-            if dist is not None:
-                assert dist.shape == order.shape
-                inputs.append(dist)
+            g = clusters.shape[1]
+            if per_tile:
+                t = height // TILE_H
+                assert order.shape == (bsz, num_agents, t, g)
+                assert dist is not None and dist.shape == order.shape
+                # SMEM blocks must keep the last two dims whole: ship the
+                # full [T, G] plane per (env, agent); the kernel indexes its
+                # tile row.
+                spec = pl.BlockSpec((1, 1, t, g), lambda b, a, h: (b, a, 0, 0),
+                                    memory_space=pltpu.SMEM)
+                inputs += [order, dist]
+                in_specs += [spec, spec]
+            else:
+                assert order.shape == (bsz, num_agents, g)
+                inputs.append(order)
                 in_specs.append(
-                    pl.BlockSpec((1, num_agents, clusters.shape[1]),
-                                 lambda b, a, h: (b, 0, 0),
+                    pl.BlockSpec((1, num_agents, g), lambda b, a, h: (b, 0, 0),
                                  memory_space=pltpu.SMEM))
+                if dist is not None:
+                    assert dist.shape == order.shape
+                    inputs.append(dist)
+                    in_specs.append(
+                        pl.BlockSpec((1, num_agents, g),
+                                     lambda b, a, h: (b, 0, 0),
+                                     memory_space=pltpu.SMEM))
 
     kernel = functools.partial(
         _render_kernel, height=height, width=width, num_prims=num_prims,
         cluster_k=cluster_k, sorted_order=order is not None,
         early_exit=order is not None and dist is not None,
+        per_tile=per_tile,
     )
     return pl.pallas_call(
         kernel,
@@ -615,6 +637,110 @@ def sort_clusters(cams: jax.Array, clusters: jax.Array):
     hi = clusters[:, None, :, 3:6]
     d = jnp.maximum(jnp.maximum(lo - eye, eye - hi), 0.0)
     key = jnp.sum(d * d, axis=-1)                   # [B, A, G]
+    order = jnp.argsort(key, axis=-1).astype(jnp.int32)
+    dist = jnp.sqrt(jnp.take_along_axis(key, order, axis=-1))
+    return order, dist
+
+
+@functools.lru_cache(maxsize=8)
+def _tile_dir_bounds(height: int, width: int):
+    """Static camera-space ray-direction bounds per 8-row tile: f32 numpy
+    [T, 3] lo and hi, widened by a safety margin so they bound the kernel's
+    f32/rsqrt-approximated directions for every pixel of the tile."""
+    rows = np.arange(height, dtype=np.float64)[:, None]
+    cols = np.arange(width, dtype=np.float64)[None, :]
+    tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
+    tan_v = tan_h * height / width
+    u = ((cols + 0.5) / width * 2.0 - 1.0) * tan_h
+    v = (1.0 - (rows + 0.5) / height * 2.0) * tan_v
+    inv_len = 1.0 / np.sqrt(u * u + v * v + 1.0)
+    d0 = np.stack(np.broadcast_arrays(u * inv_len, v * inv_len,
+                                      -inv_len + 0 * u), axis=-1)
+    t = height // TILE_H
+    d0 = d0.reshape(t, TILE_H, width, 3)
+    margin = 2e-3  # covers TPU rsqrt/trig approximation vs numpy exact
+    lo = (d0.min(axis=(1, 2)) - margin).astype(np.float32)
+    hi = (d0.max(axis=(1, 2)) + margin).astype(np.float32)
+    return lo, hi
+
+
+def frustum_cull(cams: jax.Array, clusters: jax.Array,
+                 height: int, width: int):
+    """Per-TILE front-to-back cluster lists with conservative frustum culling.
+
+    cams [B, A, 8], clusters [B, G, 8] ->
+        (order int32 [B, A, T, G], dist f32 [B, A, T, G]), T = height/TILE_H.
+
+    For each (env, agent, 8-row pixel tile) the cluster AABB is slab-tested
+    against INTERVAL ray directions (exact camera-space per-tile bounds
+    rotated by the agent's yaw/pitch with interval arithmetic, widened by a
+    float-safety margin), so any cluster that any ray of the tile could enter
+    in front of the camera and inside the far plane SURVIVES. Culled and dead
+    clusters get dist=+INF and sort last: the kernel's early-exit condition
+    (max tile depth starts at the far plane) therefore never visits them.
+    Survivors keep the eye-distance lower bound used for early termination,
+    sorted ascending (front-to-back)."""
+    t = height // TILE_H
+    d0lo, d0hi = _tile_dir_bounds(height, width)       # [T, 3] each
+    d0lo = jnp.asarray(d0lo)[None, None]               # [1, 1, T, 3]
+    d0hi = jnp.asarray(d0hi)[None, None]
+
+    yaw = cams[:, :, 3:4]                              # [B, A, 1]
+    pitch = cams[:, :, 4:5]
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+
+    def mul(c, lo, hi):
+        a, b = c * lo, c * hi
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    def add(i1, i2):
+        return i1[0] + i2[0], i1[1] + i2[1]
+
+    ax = lambda i: (d0lo[..., i], d0hi[..., i])
+    # Same rotation as the kernel: y1 = cp*dy0 - sp*dz0; z1 = sp*dy0 + cp*dz0;
+    # dx = cy*dx0 + sy*z1; dy = y1; dz = -sy*dx0 + cy*z1.
+    y1 = add(mul(cp, *ax(1)), mul(-sp, *ax(2)))
+    z1 = add(mul(sp, *ax(1)), mul(cp, *ax(2)))
+    dxi = add(mul(cy, *ax(0)), mul(sy, *z1))
+    dyi = y1
+    dzi = add(mul(-sy, *ax(0)), mul(cy, *z1))
+
+    eye = cams[:, :, None, None, :3]                   # [B, A, 1, 1, 3]
+    lo = clusters[:, None, None, :, 0:3]               # [B, 1, 1, G, 3]
+    hi = clusters[:, None, None, :, 3:6]
+
+    eps = 1e-9
+    tmin = jnp.full(lo.shape[:-1], -INF, jnp.float32)
+    tmax = jnp.full(lo.shape[:-1], INF, jnp.float32)
+    for a_i, (dl, dh) in enumerate((dxi, dyi, dzi)):
+        dl = dl[..., None]                             # [B, A, T, 1]
+        dh = dh[..., None]
+        # If the tile's direction interval touches zero on this axis, some
+        # ray can be arbitrarily close to parallel: the axis constrains
+        # nothing (conservative pass). The kernel's eps-clamp of 1/d is
+        # covered: it only maps tiny |d| to huge t, which an unconstrained
+        # axis trivially bounds.
+        definite = (dl > eps) | (dh < -eps)
+        il, ih = 1.0 / dh, 1.0 / dl                    # sign-consistent
+        p1 = lo[..., a_i] - eye[..., a_i]
+        p2 = hi[..., a_i] - eye[..., a_i]
+        c1, c2 = p1 * il, p1 * ih
+        c3, c4 = p2 * il, p2 * ih
+        ax_min = jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4))
+        ax_max = jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4))
+        tmin = jnp.where(definite, jnp.maximum(tmin, ax_min), tmin)
+        tmax = jnp.where(definite, jnp.minimum(tmax, ax_max), tmax)
+
+    slack = 0.02
+    survive = ((tmax >= tmin - slack) & (tmax > -slack)
+               & (tmin < C.CAMERA_FAR + slack))        # [B, A, T, G]
+
+    d = jnp.maximum(jnp.maximum(clusters[:, None, :, 0:3] - cams[:, :, None, :3],
+                                cams[:, :, None, :3] - clusters[:, None, :, 3:6]),
+                    0.0)
+    key = jnp.sum(d * d, axis=-1)[:, :, None, :]       # [B, A, 1, G]
+    key = jnp.where(survive, jnp.broadcast_to(key, survive.shape), INF)
     order = jnp.argsort(key, axis=-1).astype(jnp.int32)
     dist = jnp.sqrt(jnp.take_along_axis(key, order, axis=-1))
     return order, dist

@@ -74,7 +74,8 @@ class Learner:
     """Builds jitted init / train-step functions for one scenario."""
 
     def __init__(self, scenario: Scenario, num_envs: int, cfg: TrainConfig = TrainConfig(),
-                 render_bucket: Optional[Tuple[int, int]] = None):
+                 render_bucket: Optional[Tuple[int, int]] = None,
+                 render_backend: Optional[str] = None):
         self.scenario = scenario
         self.num_envs = num_envs
         self.cfg = cfg
@@ -82,6 +83,11 @@ class Learner:
         # slices the render tables (see env.render_batch). Supplied by the
         # caller from generated-layout counts; None renders full capacity.
         self.render_bucket = render_bucket
+        # Scene-size-aware renderer (env.pick_render_backend): tiny scenes
+        # fuse the unrolled XLA renderer into the rollout scan.
+        from megaverse_tpu.env import pick_render_backend
+
+        self.render_backend = render_backend or pick_render_backend(scenario)
         self.model = ActorCritic(hidden_size=cfg.hidden_size, use_rnn=cfg.use_rnn)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -120,7 +126,8 @@ class Learner:
             mask = multidiscrete_to_bitmask(actions)
             res = vstep(env_state, next_scenes, mask, shaping)
             new_obs = render_batch(scen, res.state, fmt="packed",
-                                   bucket=self.render_bucket)
+                                   bucket=self.render_bucket,
+                                   backend=self.render_backend)
             # reset RNN state on episode boundary
             rnn2 = jnp.where(res.done[:, None, None], 0.0, rnn2)
             out = (obs, actions.astype(jnp.int32), logp, value, res.reward, res.done)

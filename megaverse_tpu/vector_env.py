@@ -128,24 +128,12 @@ class VectorEnv:
 
     # ---------------------------------------------------------------- renderer
     def _pick_backend(self) -> str:
-        """Renderer backend for this env's scenario. MEGAVERSE_RENDERER wins;
-        otherwise on TPU heavy scenes use the cluster-culled Pallas kernel
-        (skips most primitive rows per ray tile; measured ~3x over the
-        unrolled XLA form on Collect) while tiny scenes stay on the unrolled
-        XLA renderer, which fuses into the step program and avoids per-call
-        kernel dispatch (Empty: ~5x over the Pallas path)."""
-        import os
+        """Renderer backend for this env's scenario (see
+        env.pick_render_backend: Pallas for heavy scenes, fused unroll for
+        tiny ones, MEGAVERSE_RENDERER override)."""
+        from megaverse_tpu.env import pick_render_backend
 
-        env = os.environ.get("MEGAVERSE_RENDERER")
-        if env:
-            return env
-        if jax.default_backend() != "tpu":
-            return "xla"
-        cfg = self.scenario.cfg
-        seg_caps = ([cap for _, _, cap in cfg.prop_segments]
-                    if cfg.prop_segments else [int(cfg.max_props)])
-        total_rows = int(self.scenario.max_boxes) + sum(seg_caps)
-        return "pallas" if total_rows >= self._CLASS_MIN_ROWS else "unroll"
+        return pick_render_backend(self.scenario, self._CLASS_MIN_ROWS)
 
     def _build_render_fns(self) -> None:
         """(Re)jit every render-dependent program for the current bucket."""

@@ -133,6 +133,19 @@ def test_pallas_cluster_cull_is_exact(scenario):
         cams, prims_p, cfg.obs_height, cfg.obs_width, clusters=clusters,
         order=order, dist=dist, interpret=True))
     np.testing.assert_array_equal(ee, plain)
+    # ...and per-tile frustum-culled lists (conservative interval slab test:
+    # a cluster only drops from a tile's list when NO ray of that tile can
+    # hit it in front of the camera inside the far plane).
+    order_t, dist_t = RP.frustum_cull(
+        cams, clusters, cfg.obs_height, cfg.obs_width)
+    assert order_t.ndim == 4
+    # real culling happens (some tiles see fewer live clusters than exist):
+    # culled clusters carry dist = sqrt(INF) = 1e15
+    assert (np.asarray(dist_t) > 1e14).any()
+    tiled = np.asarray(RP.render_packed(
+        cams, prims_p, cfg.obs_height, cfg.obs_width, clusters=clusters,
+        order=order_t, dist=dist_t, interpret=True))
+    np.testing.assert_array_equal(tiled, plain)
     # ...regardless of the visit order chosen.
     rng2 = np.random.default_rng(1)
     perm = jnp.asarray(np.stack(
