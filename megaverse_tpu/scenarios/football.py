@@ -109,9 +109,29 @@ class FootballScenario(Scenario):
         impulse = jnp.sum(jnp.where(kick[:, None], 70.0 * dir_ * dt, 0.0), axis=0)
         vel = sc.ball_vel + impulse
 
+        # agent contacts: the reference ball is a Bullet dynamic body, so a
+        # kinematic agent walking into it pushes it out of penetration
+        # (capsule r=0.33 vs sphere r=1). Horizontal-only resolution, summed
+        # over contacting agents.
+        body = state.agents.pos + jnp.asarray([0.0, C.AGENT_HALF_HEIGHT, 0.0])
+        dxz = sc.ball_pos[None, ::2] - body[:, ::2]
+        dh = jnp.linalg.norm(dxz, axis=-1)
+        overlap_v = jnp.abs(sc.ball_pos[1] - body[:, 1]) < (
+            C.AGENT_HALF_HEIGHT + BALL_RADIUS)
+        pen = (BALL_RADIUS + C.AGENT_CAPSULE_RADIUS) - dh
+        touching = (pen > 0.0) & overlap_v
+        push_dir = dxz / jnp.maximum(dh[:, None], 1e-6)
+        push = jnp.sum(
+            jnp.where(touching[:, None], push_dir * pen[:, None], 0.0), axis=0)
+        pos0 = sc.ball_pos.at[0].add(push[0]).at[2].add(push[1])
+        # impart momentum: depenetration velocity, capped at walk speed
+        push_v = jnp.clip(push / dt, -C.KCC_MAX_HORIZONTAL_SPEED,
+                          C.KCC_MAX_HORIZONTAL_SPEED)
+        vel = vel.at[0].add(push_v[0]).at[2].add(push_v[1])
+
         # ballistic integration + voxel collisions
         vel = vel - jnp.asarray([0.0, GRAVITY * dt, 0.0])
-        pos = sc.ball_pos + vel * dt
+        pos = pos0 + vel * dt
 
         # floor/wall response: probe the voxel below and around the ball
         below = G.world_to_voxel(cfg, pos - jnp.asarray([0.0, BALL_RADIUS + 1e-3, 0.0]))

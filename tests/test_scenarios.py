@@ -167,6 +167,34 @@ def test_boxagone_tile_expires():
     assert not (vt & C.VOXEL_SOLID)
 
 
+def test_football_kick_and_push():
+    """Interact within 1.8 m kicks the ball away (70 N, up-bias,
+    scenario_football.cpp:143-164); walking contact pushes it out of
+    penetration (Bullet kinematic-vs-dynamic analogue)."""
+    s, state = _single_env("Football", seed=6)
+    ball0 = np.asarray(state.scen.ball_pos)
+    shaping = jnp.asarray(s.shaping_array())
+
+    # stand 1 m -x of the ball, kick
+    apos = jnp.asarray([[ball0[0] - 1.0, ball0[1] - C.AGENT_BODY_OFFSET_Y,
+                         ball0[2]]])
+    st = state.replace(agents=state.agents.replace(pos=apos))
+    st2, _ = s.scen_step(st, jnp.asarray([C.ACTION_INTERACT], jnp.int32),
+                         shaping)
+    v = np.asarray(st2.scen.ball_vel)
+    assert v[0] > 1.0 and v[1] > 0.5, v  # away from agent, up-bias
+
+    # rest the ball on the floor, overlap the agent capsule with it: pushed
+    sc = state.scen
+    rest = sc.replace(ball_pos=jnp.asarray([6.0, 2.0, 6.0]),
+                      ball_vel=jnp.zeros(3))
+    apos = jnp.asarray([[6.0 + 1.1, 2.0 - C.AGENT_HALF_HEIGHT, 6.0]])
+    st = state.replace(scen=rest, agents=state.agents.replace(pos=apos))
+    st2, _ = s.scen_step(st, jnp.zeros((1,), jnp.int32), shaping)
+    moved = np.asarray(st2.scen.ball_pos) - np.asarray(rest.ball_pos)
+    assert moved[0] < -0.01, moved  # pushed away (-x) from the agent
+
+
 def test_hexexplore_solve():
     s, state = _single_env("HexExplore", seed=5)
     target = np.asarray(state.scen.reward_pos)
