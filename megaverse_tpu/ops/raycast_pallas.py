@@ -49,7 +49,10 @@ TILE_W = 128
 # routines when no ray can produce a closer hit. The analogue of the tile
 # binning a GPU rasterizer gets from its hardware scan converter; on heavy
 # scenes (Collect terrain ~500 rows) most clusters miss most tiles.
-CLUSTER_K = 8
+# K=4: with per-tile frustum lists + early exit, cluster *tests* are nearly
+# free, so finer clusters win — every surviving cluster costs K row
+# intersections and tighter AABBs survive less often.
+CLUSTER_K = 4
 # Conservative bound radius of the eye box: |offset| + |half extents|
 # (0.19 + 0.342) — valid for every yaw/pitch.
 _EYE_BOUND = 0.54
@@ -323,39 +326,56 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         )
         return jnp.where(ptype >= 0, t, INF), nx, ny, nz
 
-    def body(i, carry):
-        bt, bnx, bny, bnz, br, bg, bb = carry
-        t, nx, ny, nz = row_hit(i)
-        closer = t < bt
-        return (
-            jnp.where(closer, t, bt),
-            jnp.where(closer, nx, bnx),
-            jnp.where(closer, ny, bny),
-            jnp.where(closer, nz, bnz),
-            jnp.where(closer, prims_ref[0, i, 7], br),
-            jnp.where(closer, prims_ref[0, i, 8], bg),
-            jnp.where(closer, prims_ref[0, i, 9], bb),
-        )
+    def row_hit_aabb(i):
+        # branch-free variant for clusters whose live rows are all AABBs
+        # (merged layout boxes — the dominant row population): same math as
+        # the switch's branch 0, so the image is bit-identical.
+        live = prims_ref[0, i, 0] >= 0
+        t, nx, ny, nz = prim_aabb(
+            prims_ref[0, i, 1], prims_ref[0, i, 2], prims_ref[0, i, 3],
+            prims_ref[0, i, 4], prims_ref[0, i, 5], prims_ref[0, i, 6])
+        return jnp.where(live, t, INF), nx, ny, nz
 
-    def body_tiebreak(i, carry):
+    def make_body(hit_fn):
+        def body(i, carry):
+            bt, bnx, bny, bnz, br, bg, bb = carry
+            t, nx, ny, nz = hit_fn(i)
+            closer = t < bt
+            return (
+                jnp.where(closer, t, bt),
+                jnp.where(closer, nx, bnx),
+                jnp.where(closer, ny, bny),
+                jnp.where(closer, nz, bnz),
+                jnp.where(closer, prims_ref[0, i, 7], br),
+                jnp.where(closer, prims_ref[0, i, 8], bg),
+                jnp.where(closer, prims_ref[0, i, 9], bb),
+            )
+        return body
+
+    def make_body_tiebreak(hit_fn):
         # Variant carrying the winning row index: ties (t == bt) resolve to
         # the LOWEST row index, which is exactly what in-order traversal's
         # strict `t < bt` produces — so any cluster traversal order yields
         # the bit-identical image.
-        bt, bidx, bnx, bny, bnz, br, bg, bb = carry
-        t, nx, ny, nz = row_hit(i)
-        ii = jnp.full_like(bidx, 0) + i
-        closer = (t < bt) | ((t == bt) & (ii < bidx))
-        return (
-            jnp.where(closer, t, bt),
-            jnp.where(closer, ii, bidx),
-            jnp.where(closer, nx, bnx),
-            jnp.where(closer, ny, bny),
-            jnp.where(closer, nz, bnz),
-            jnp.where(closer, prims_ref[0, i, 7], br),
-            jnp.where(closer, prims_ref[0, i, 8], bg),
-            jnp.where(closer, prims_ref[0, i, 9], bb),
-        )
+        def body(i, carry):
+            bt, bidx, bnx, bny, bnz, br, bg, bb = carry
+            t, nx, ny, nz = hit_fn(i)
+            ii = jnp.full_like(bidx, 0) + i
+            closer = (t < bt) | ((t == bt) & (ii < bidx))
+            return (
+                jnp.where(closer, t, bt),
+                jnp.where(closer, ii, bidx),
+                jnp.where(closer, nx, bnx),
+                jnp.where(closer, ny, bny),
+                jnp.where(closer, nz, bnz),
+                jnp.where(closer, prims_ref[0, i, 7], br),
+                jnp.where(closer, prims_ref[0, i, 8], bg),
+                jnp.where(closer, prims_ref[0, i, 9], bb),
+            )
+        return body
+
+    body = make_body(row_hit)
+    body_tiebreak = make_body_tiebreak(row_hit)
 
     zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (zero + INF, zero, zero, zero, zero, zero, zero)
@@ -398,12 +418,24 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             # nothing in culling power but keeps culling bit-exact.
             reachable = (tmax >= tmin) & (tmax > 0.0) & (tmin < bt + 0.01)
 
-            row_body = body_tiebreak if sorted_order else body
+            mk = make_body_tiebreak if sorted_order else make_body
+            row_body = mk(row_hit)
+            row_body_aabb = mk(row_hit_aabb)
 
             def process(c):
-                for j in range(cluster_k):
-                    c = row_body(g * cluster_k + j, c)
-                return c
+                # homogeneous all-AABB clusters (clusters_ref[...,6] tag from
+                # build_clusters) skip the per-row type switch
+                tag = clusters_ref[0, g, 6].astype(jnp.int32)
+
+                def run(rb, c):
+                    for j in range(cluster_k):
+                        c = rb(g * cluster_k + j, c)
+                    return c
+
+                return jax.lax.cond(
+                    tag == PRIM_AABB,
+                    functools.partial(run, row_body_aabb),
+                    functools.partial(run, row_body), c)
 
             return jax.lax.cond(jnp.any(reachable), process, lambda c: c, carry)
 
@@ -616,8 +648,17 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
     empty = chi[:, :1] < clo[:, :1]
     clo = jnp.where(empty, INF, clo)
     chi = jnp.where(empty, INF, chi)
+    # Homogeneity tag (column 6): the shared row type if every LIVE row in
+    # the cluster has it, else -1. The kernel runs a branch-free fast path
+    # for all-AABB clusters. Dead rows are wildcards; all-dead -> -1.
+    grp = ptype.reshape(g, k)
+    live = grp >= 0
+    ref_t = jnp.max(grp, axis=1)
+    same = (((grp == ref_t[:, None]) | ~live).all(axis=1)
+            & live.any(axis=1))
+    tag = jnp.where(same, ref_t, -1).astype(jnp.float32)
     clusters = jnp.concatenate(
-        [clo, chi, jnp.zeros((g, 2), jnp.float32)], axis=1)
+        [clo, chi, tag[:, None], jnp.zeros((g, 1), jnp.float32)], axis=1)
     return prims, clusters
 
 
