@@ -387,7 +387,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         # With sorted_order, clusters are visited front-to-back per agent
         # (order_ref from sort_clusters), so near geometry tightens the depth
         # planes before far clusters are tested — most then skip outright.
-        def cluster_body(g, carry):
+        def cluster_body(g, carry, maxt_in=None):
             bt = carry[0]
             if sorted_order:
                 g = (order_ref[0, 0, tile_row, g] if per_tile
@@ -432,12 +432,17 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                         c = rb(g * cluster_k + j, c)
                     return c
 
-                return jax.lax.cond(
+                out = jax.lax.cond(
                     tag == PRIM_AABB,
                     functools.partial(run, row_body_aabb),
                     functools.partial(run, row_body), c)
+                if maxt_in is None:
+                    return out
+                return (jnp.max(out[0]), *out)
 
-            return jax.lax.cond(jnp.any(reachable), process, lambda c: c, carry)
+            skip = (lambda c: c) if maxt_in is None else (
+                lambda c: (maxt_in, *c))
+            return jax.lax.cond(jnp.any(reachable), process, skip, carry)
 
         num_groups = num_prims // cluster_k
         if sorted_order and early_exit:
@@ -452,23 +457,31 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             # clusters are beyond the far plane; a hit at t >= far renders as
             # sky either way (miss test is t >= far), so the image is
             # bit-identical.
+            #
+            # The tile's max depth rides the loop state as a SCALAR, refreshed
+            # (one vector reduction) only when a cluster's rows actually ran —
+            # bt never changes otherwise, so the carried value stays exact and
+            # the loop condition is pure scalar work (no vector->scalar sync
+            # per skipped cluster).
             init_e = (jnp.int32(0),
+                      jnp.float32(C.CAMERA_FAR),
                       zero + np.float32(C.CAMERA_FAR),
                       jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
                       *init[1:])
 
             def w_cond(state):
-                g, bt = state[0], state[1]
+                g, maxt = state[0], state[1]
                 gi = jnp.minimum(g, num_groups - 1)
                 d = (dist_ref[0, 0, tile_row, gi] if per_tile
                      else dist_ref[0, agent, gi])
-                return (g < num_groups) & (jnp.max(bt) >= d)
+                return (g < num_groups) & (maxt >= d)
 
             def w_body(state):
-                carry = cluster_body(state[0], state[1:])
-                return (state[0] + 1, *carry)
+                g, maxt = state[0], state[1]
+                carry = cluster_body(g, state[2:], maxt_in=maxt)
+                return (g + 1, *carry)
 
-            _, t, _, nx, ny, nz, cr, cg, cb = jax.lax.while_loop(
+            _, _, t, _, nx, ny, nz, cr, cg, cb = jax.lax.while_loop(
                 w_cond, w_body, init_e)
         elif sorted_order:
             init_s = (init[0], jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
