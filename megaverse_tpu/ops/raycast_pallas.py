@@ -560,12 +560,18 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
     per_tile = order is not None and order.ndim == 4
 
     cluster_k = 0
+    # Every access to the primitive/cluster tables is a dynamic SCALAR load
+    # broadcast against the ray tile — that is what the scalar memory is for
+    # (a VMEM scalar read costs a vector access). Tables are per-env blocks;
+    # keep the prim table in SMEM whenever it plausibly fits alongside the
+    # other scalar blocks.
+    prim_space = pltpu.SMEM if num_prims * 16 * 4 <= 48 * 1024 else pltpu.VMEM
     inputs = [cams, prims]
     in_specs = [
         pl.BlockSpec((1, num_agents, 8), lambda b, a, h: (b, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, num_prims, 16), lambda b, a, h: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
+                     memory_space=prim_space),
     ]
     if clusters is not None:
         cluster_k = CLUSTER_K
@@ -574,7 +580,7 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
         inputs.append(clusters)
         in_specs.append(
             pl.BlockSpec((1, clusters.shape[1], 8), lambda b, a, h: (b, 0, 0),
-                         memory_space=pltpu.VMEM))
+                         memory_space=pltpu.SMEM))
         if order is not None:
             g = clusters.shape[1]
             if per_tile:
