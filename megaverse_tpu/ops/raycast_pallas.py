@@ -57,6 +57,11 @@ CLUSTER_K = 4
 # (0.19 + 0.342) — valid for every yaw/pitch.
 _EYE_BOUND = 0.54
 
+# Prim tables up to this size live in SMEM (every access is a dynamic scalar
+# load; VMEM scalar reads stall). Must leave room for the cluster/order/dist
+# scalar blocks. v5e accepts well past this; kept conservative.
+PRIM_SMEM_LIMIT_BYTES = 48 * 1024
+
 PRIM_AABB = 0
 PRIM_ELLIPSOID = 1
 PRIM_CYLINDER = 2
@@ -565,7 +570,8 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
     # (a VMEM scalar read costs a vector access). Tables are per-env blocks;
     # keep the prim table in SMEM whenever it plausibly fits alongside the
     # other scalar blocks.
-    prim_space = pltpu.SMEM if num_prims * 16 * 4 <= 48 * 1024 else pltpu.VMEM
+    prim_space = (pltpu.SMEM if num_prims * 16 * 4 <= PRIM_SMEM_LIMIT_BYTES
+                  else pltpu.VMEM)
     inputs = [cams, prims]
     in_specs = [
         pl.BlockSpec((1, num_agents, 8), lambda b, a, h: (b, 0, 0),
