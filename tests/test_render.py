@@ -169,6 +169,67 @@ def test_pallas_cluster_cull_is_exact(scenario):
     assert (delta != 0).mean() < 1e-4, f"diff fraction {(delta != 0).mean()}"
 
 
+def test_frustum_cull_is_conservative():
+    """Property check on the interval slab test: for every pixel of every
+    tile, if the per-ray slab test (the kernel's math) reaches a cluster in
+    front of the camera inside the far plane, that cluster must SURVIVE the
+    tile's frustum cull."""
+    env = _env_state(name="Collect", num_envs=2, num_agents=2, steps=4)
+    st = env.state
+    cfg = env.scenario.cfg
+    remaining = jnp.maximum(
+        0.0, (st.episode_len_sec - st.episode_sec) / st.episode_len_sec)
+    prims = jax.vmap(
+        lambda s: RP.build_prim_table(
+            cfg, s.box_lo, s.box_hi, s.box_color, s.props, s.agents)
+    )(st)
+    cams = jax.vmap(lambda s, tf: RP.build_cams(cfg, s.agents, tf))(
+        st, remaining)
+    prims_p, clusters = jax.vmap(RP.build_clusters)(prims)
+    order, dist = RP.frustum_cull(cams, clusters, cfg.obs_height, cfg.obs_width)
+    surv = np.asarray(dist) < 1e14                # [B, A, T, G] (order-space)
+    ord_np = np.asarray(order)
+    cl = np.asarray(clusters)
+    cam = np.asarray(cams)
+    H, W = cfg.obs_height, cfg.obs_width
+
+    # per-pixel ray dirs, numpy float64 (the kernel's formulas)
+    rows = np.arange(H)[:, None]
+    cols = np.arange(W)[None, :]
+    tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
+    tan_v = tan_h * H / W
+    u = ((cols + 0.5) / W * 2 - 1) * tan_h
+    v = (1 - (rows + 0.5) / H * 2) * tan_v
+    il = 1 / np.sqrt(u * u + v * v + 1)
+    d0 = np.stack(np.broadcast_arrays(u * il, v * il, -il + 0 * u), -1)
+
+    rng = np.random.default_rng(0)
+    for b in range(2):
+        for a in range(2):
+            ex, ey, ez, yaw, pitch = cam[b, a, :5]
+            cy, sy, cp, sp = np.cos(yaw), np.sin(yaw), np.cos(pitch), np.sin(pitch)
+            y1 = cp * d0[..., 1] - sp * d0[..., 2]
+            z1 = sp * d0[..., 1] + cp * d0[..., 2]
+            d = np.stack([cy * d0[..., 0] + sy * z1, y1,
+                          -sy * d0[..., 0] + cy * z1], -1)
+            # sample pixels; exact slab test per cluster
+            for _ in range(200):
+                py, px = int(rng.integers(H)), int(rng.integers(W))
+                t_i = py // RP.TILE_H
+                dd = d[py, px]
+                with np.errstate(divide="ignore"):
+                    inv = 1.0 / np.where(np.abs(dd) < 1e-12, 1e-12, dd)
+                t1 = (cl[b, :, 0:3] - [ex, ey, ez]) * inv
+                t2 = (cl[b, :, 3:6] - [ex, ey, ez]) * inv
+                tmin = np.minimum(t1, t2).max(-1)
+                tmax = np.maximum(t1, t2).min(-1)
+                reach = (tmax >= tmin) & (tmax > 0) & (tmin < C.CAMERA_FAR)
+                # map cluster-id reachability into order-space survival
+                surv_ids = set(ord_np[b, a, t_i][surv[b, a, t_i]])
+                bad = [g for g in np.nonzero(reach)[0] if g not in surv_ids]
+                assert not bad, (b, a, py, px, bad)
+
+
 def test_cluster_table_bounds_are_conservative():
     """Every live row's exact hit distances must be reachable through its
     cluster AABB: shrink-proof check on randomly sampled rays."""
