@@ -637,10 +637,10 @@ def pack_planes(r, g, b) -> jax.Array:
 
 def _table_planes(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
                   time_fraction: jax.Array):
-    """Rolled-loop renderer over a unified primitive table [M, 16] (see
-    ops/raycast_pallas.py for the row encoding). Compile time is O(1) in M —
-    this is the CPU/test backend matching the Pallas kernel's semantics.
-    Returns (r, g, b) float planes [A, H, W]."""
+    """Rolled-loop renderer over a unified primitive table [M, 12] (see
+    ops/raycast_pallas.py for the row encoding; row[7] carries packed RGB).
+    Compile time is O(1) in M — this is the CPU/test backend matching the
+    Pallas kernel's semantics. Returns (r, g, b) float planes [A, H, W]."""
     from megaverse_tpu.ops import raycast_pallas as RP
 
     rays = make_rays(cfg, agents)
@@ -673,7 +673,7 @@ def _table_planes(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
     def rotbox(row):
         center = row[1:4]
         byaw = row[4]
-        half = row[10:13]
+        half = row[8:11]
         cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
         ox, oy, oz = rays.ox - center[0], rays.oy - center[1], rays.oz - center[2]
         lx = cyj * ox - syj * oz
@@ -701,7 +701,12 @@ def _table_planes(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
         ]
         t, n = jax.lax.switch(jnp.clip(ptype, 0, 6), branches)
         t = jnp.where(ptype >= 0, t, INF)
-        return _select(carry, t, n, (row[7], row[8], row[9])), None
+        # row[7] = packed RGB; f32(k)/255 reproduces the palette bit-exactly
+        pk = row[7].astype(jnp.int32)
+        rgb = (((pk >> 16) & 0xFF).astype(jnp.float32) / 255.0,
+               ((pk >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+               (pk & 0xFF).astype(jnp.float32) / 255.0)
+        return _select(carry, t, n, rgb), None
 
     init = HitCarry(t=zero + INF, nx=zero, ny=zero, nz=zero, r=zero, g=zero, b=zero)
     carry, _ = jax.lax.scan(body, init, prims)

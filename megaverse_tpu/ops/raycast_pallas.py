@@ -4,18 +4,33 @@ The XLA renderer (ops/raycast.py) unrolls the primitive loop at trace time,
 which is fast for small scenes but makes compile time linear in primitive
 count (Collect scenes reach ~1000 primitives). This kernel keeps the loop
 ROLLED: each program instance renders an 8x128 pixel tile (one VPU register
-tile) of one agent's view, walking a unified per-env primitive table that
-lives in VMEM, with the closest-hit carry held in registers. Branching on the
+tile) of one agent's view, walking a unified per-env primitive table with the
+closest-hit carry held in registers. Every table access is a dynamic scalar
+load broadcast against the tile, so tables live in SMEM (scalar memory) when
+they fit — a VMEM scalar read stalls on a vector access. Branching on the
 primitive type happens on a scalar, so only one intersection routine executes
-per table row.
+per table row; clusters whose live rows are all AABBs take a branch-free fast
+path.
 
-Unified primitive row (16 f32):
+Culling pipeline (all bit-exact, see tests/test_render.py):
+  1. build_clusters groups rows into CLUSTER_K-row clusters w/ AABBs + tags;
+  2. frustum_cull (XLA) builds per-(env, agent, tile) front-to-back cluster
+     lists via conservative interval slab tests — clusters outside a tile's
+     view get distance +INF and sort last;
+  3. the kernel walks the list, slab-testing each cluster against the tile's
+     current closest-hit depths (occlusion), and TERMINATES when every ray's
+     hit is strictly nearer than the next cluster's distance bound (the tile
+     max depth rides the loop as a scalar, refreshed only when rows run).
+
+Unified primitive row (12 f32):
   [0]     type: 0=aabb, 1=ellipsoid, 2=cylinder-y, 3=cone-y, 4=cone-y flipped,
           5=yaw/pitch-rotated eye box, 6=y-rotated box, <0 = unused slot
   [1:4]   a: box lo / center / camera pos
   [4:7]   b: box hi / radii / (rx, rz, half_h) / (yaw, pitch, -)
-  [7:10]  rgb albedo
-  [10:13] c: rotated-box half extents (type 6)
+  [7]     rgb albedo packed as float((r8<<16)|(g8<<8)|b8) — palette entries
+          are exactly k/255 and f32(k)/255 reproduces them bit-exactly, so
+          the closest-hit loop carries ONE channel and unpacks once per tile
+  [8:11]  c: rotated-box half extents (type 6)
 Camera row (8 f32): eye xyz, yaw, pitch, time_fraction.
 
 Output: packed RGB in int32 [B, A, H, W] (unpacked to uint8 by the caller).
@@ -58,9 +73,13 @@ CLUSTER_K = 4
 _EYE_BOUND = 0.54
 
 # Prim tables up to this size live in SMEM (every access is a dynamic scalar
-# load; VMEM scalar reads stall). Must leave room for the cluster/order/dist
-# scalar blocks. v5e accepts well past this; kept conservative.
-PRIM_SMEM_LIMIT_BYTES = 48 * 1024
+# load; VMEM scalar reads stall). SMEM is 1 MB on v5e and pads the MINOR
+# dimension of each window to 1 KB, so tables ship FLATTENED to 1D per env
+# (one padding, not one per row). Budget: this x2 buffering + cluster/order/
+# dist blocks must stay under 1 MB.
+PRIM_SMEM_LIMIT_BYTES = 256 * 1024
+
+ROW_W = 12  # f32 stride of one primitive-table row
 
 PRIM_AABB = 0
 PRIM_ELLIPSOID = 1
@@ -76,7 +95,7 @@ _EYE_OFFSET = (0.0, 0.0, -0.19)
 
 def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                    cluster_k=0, sorted_order=False, early_exit=False,
-                   per_tile=False):
+                   per_tile=False, prim_flat=False):
     if cluster_k and sorted_order and early_exit:
         clusters_ref, order_ref, dist_ref, out_ref = rest
     elif cluster_k and sorted_order:
@@ -95,6 +114,15 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
     time_frac = cam_ref[0, agent, 5]
 
     tile_row = pl.program_id(2)
+
+    # Table loads: SMEM tables arrive FLATTENED to 1D (SMEM pads each
+    # window's minor dim to 1 KB — a [M, 12] block would burn 1 KB per row).
+    if prim_flat:
+        pload = lambda i, c: prims_ref[0, 0, i * ROW_W + c]
+    else:
+        pload = lambda i, c: prims_ref[0, i, c]
+    if cluster_k:
+        cload = lambda g, c: clusters_ref[0, 0, g * 8 + c]
 
     tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2)).astype(np.float32)
     tan_v = np.float32(tan_h * height / width)
@@ -306,16 +334,16 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
 
     # ---- primitive loop ----
     def row_hit(i):
-        ptype = prims_ref[0, i, 0].astype(jnp.int32)
-        a0 = prims_ref[0, i, 1]
-        a1 = prims_ref[0, i, 2]
-        a2 = prims_ref[0, i, 3]
-        b0 = prims_ref[0, i, 4]
-        b1 = prims_ref[0, i, 5]
-        b2 = prims_ref[0, i, 6]
-        c0_ = prims_ref[0, i, 10]
-        c1_ = prims_ref[0, i, 11]
-        c2_ = prims_ref[0, i, 12]
+        ptype = pload(i, 0).astype(jnp.int32)
+        a0 = pload(i, 1)
+        a1 = pload(i, 2)
+        a2 = pload(i, 3)
+        b0 = pload(i, 4)
+        b1 = pload(i, 5)
+        b2 = pload(i, 6)
+        c0_ = pload(i, 8)
+        c1_ = pload(i, 9)
+        c2_ = pload(i, 10)
 
         t, nx, ny, nz = jax.lax.switch(
             jnp.clip(ptype, 0, 6),
@@ -335,15 +363,24 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         # branch-free variant for clusters whose live rows are all AABBs
         # (merged layout boxes — the dominant row population): same math as
         # the switch's branch 0, so the image is bit-identical.
-        live = prims_ref[0, i, 0] >= 0
+        live = pload(i, 0) >= 0
         t, nx, ny, nz = prim_aabb(
-            prims_ref[0, i, 1], prims_ref[0, i, 2], prims_ref[0, i, 3],
-            prims_ref[0, i, 4], prims_ref[0, i, 5], prims_ref[0, i, 6])
+            pload(i, 1), pload(i, 2), pload(i, 3),
+            pload(i, 4), pload(i, 5), pload(i, 6))
+        return jnp.where(live, t, INF), nx, ny, nz
+
+    def row_hit_rotbox(i):
+        # branch-free variant for all-ROTBOX clusters (hex maze walls)
+        live = pload(i, 0) >= 0
+        t, nx, ny, nz = prim_rotbox(
+            pload(i, 1), pload(i, 2), pload(i, 3),
+            pload(i, 4),
+            pload(i, 8), pload(i, 9), pload(i, 10))
         return jnp.where(live, t, INF), nx, ny, nz
 
     def make_body(hit_fn):
         def body(i, carry):
-            bt, bnx, bny, bnz, br, bg, bb = carry
+            bt, bnx, bny, bnz, bc = carry
             t, nx, ny, nz = hit_fn(i)
             closer = t < bt
             return (
@@ -351,9 +388,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 jnp.where(closer, nx, bnx),
                 jnp.where(closer, ny, bny),
                 jnp.where(closer, nz, bnz),
-                jnp.where(closer, prims_ref[0, i, 7], br),
-                jnp.where(closer, prims_ref[0, i, 8], bg),
-                jnp.where(closer, prims_ref[0, i, 9], bb),
+                jnp.where(closer, pload(i, 7), bc),
             )
         return body
 
@@ -363,7 +398,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         # strict `t < bt` produces — so any cluster traversal order yields
         # the bit-identical image.
         def body(i, carry):
-            bt, bidx, bnx, bny, bnz, br, bg, bb = carry
+            bt, bidx, bnx, bny, bnz, bc = carry
             t, nx, ny, nz = hit_fn(i)
             ii = jnp.full_like(bidx, 0) + i
             closer = (t < bt) | ((t == bt) & (ii < bidx))
@@ -373,9 +408,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 jnp.where(closer, nx, bnx),
                 jnp.where(closer, ny, bny),
                 jnp.where(closer, nz, bnz),
-                jnp.where(closer, prims_ref[0, i, 7], br),
-                jnp.where(closer, prims_ref[0, i, 8], bg),
-                jnp.where(closer, prims_ref[0, i, 9], bb),
+                jnp.where(closer, pload(i, 7), bc),
             )
         return body
 
@@ -383,7 +416,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
     body_tiebreak = make_body_tiebreak(row_hit)
 
     zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    init = (zero + INF, zero, zero, zero, zero, zero, zero)
+    init = (zero + INF, zero, zero, zero, zero)
     if cluster_k:
         # Outer loop over clusters; the cluster AABB is slab-tested against
         # the whole tile INCLUDING the current closest-hit depths, and the K
@@ -397,12 +430,12 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             if sorted_order:
                 g = (order_ref[0, 0, tile_row, g] if per_tile
                      else order_ref[0, agent, g])
-            lo0 = clusters_ref[0, g, 0]
-            lo1 = clusters_ref[0, g, 1]
-            lo2 = clusters_ref[0, g, 2]
-            hi0 = clusters_ref[0, g, 3]
-            hi1 = clusters_ref[0, g, 4]
-            hi2 = clusters_ref[0, g, 5]
+            lo0 = cload(g, 0)
+            lo1 = cload(g, 1)
+            lo2 = cload(g, 2)
+            hi0 = cload(g, 3)
+            hi1 = cload(g, 4)
+            hi2 = cload(g, 5)
             t1x = lo0 * ix - exix
             t2x = hi0 * ix - exix
             t1y = lo1 * iy - eyiy
@@ -426,28 +459,35 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             mk = make_body_tiebreak if sorted_order else make_body
             row_body = mk(row_hit)
             row_body_aabb = mk(row_hit_aabb)
+            row_body_rot = mk(row_hit_rotbox)
 
-            def process(c):
-                # homogeneous all-AABB clusters (clusters_ref[...,6] tag from
-                # build_clusters) skip the per-row type switch
-                tag = clusters_ref[0, g, 6].astype(jnp.int32)
+            # One scalar switch decides skip / generic / homogeneous fast
+            # paths (all-AABB and all-ROTBOX clusters — merged layout boxes
+            # and hex maze walls — skip the per-row type dispatch;
+            # clusters_ref[...,6] tag from build_clusters).
+            tag = cload(g, 6).astype(jnp.int32)
 
-                def run(rb, c):
-                    for j in range(cluster_k):
-                        c = rb(g * cluster_k + j, c)
-                    return c
-
-                out = jax.lax.cond(
-                    tag == PRIM_AABB,
-                    functools.partial(run, row_body_aabb),
-                    functools.partial(run, row_body), c)
+            def run(rb, c):
+                for j in range(cluster_k):
+                    c = rb(g * cluster_k + j, c)
                 if maxt_in is None:
-                    return out
-                return (jnp.max(out[0]), *out)
+                    return c
+                return (jnp.max(c[0]), *c)
 
             skip = (lambda c: c) if maxt_in is None else (
                 lambda c: (maxt_in, *c))
-            return jax.lax.cond(jnp.any(reachable), process, skip, carry)
+            branch = jnp.where(
+                jnp.any(reachable),
+                jnp.where(tag == PRIM_AABB, jnp.int32(2),
+                          jnp.where(tag == PRIM_ROTBOX, jnp.int32(3),
+                                    jnp.int32(1))),
+                jnp.int32(0))
+            return jax.lax.switch(branch, [
+                skip,
+                functools.partial(run, row_body),
+                functools.partial(run, row_body_aabb),
+                functools.partial(run, row_body_rot),
+            ], carry)
 
         num_groups = num_prims // cluster_k
         if sorted_order and early_exit:
@@ -486,18 +526,24 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 carry = cluster_body(g, state[2:], maxt_in=maxt)
                 return (g + 1, *carry)
 
-            _, _, t, _, nx, ny, nz, cr, cg, cb = jax.lax.while_loop(
+            _, _, t, _, nx, ny, nz, cpk = jax.lax.while_loop(
                 w_cond, w_body, init_e)
         elif sorted_order:
             init_s = (init[0], jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
                       *init[1:])
-            t, _, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(
+            t, _, nx, ny, nz, cpk = jax.lax.fori_loop(
                 0, num_groups, cluster_body, init_s)
         else:
-            t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(
+            t, nx, ny, nz, cpk = jax.lax.fori_loop(
                 0, num_groups, cluster_body, init)
     else:
-        t, nx, ny, nz, cr, cg, cb = jax.lax.fori_loop(0, num_prims, body, init)
+        t, nx, ny, nz, cpk = jax.lax.fori_loop(0, num_prims, body, init)
+
+    # unpack the carried albedo once per tile (f32(k)/255 == palette entry)
+    pk = cpk.astype(jnp.int32)
+    cr = ((pk >> 16) & 0xFF).astype(jnp.float32) / 255.0
+    cg = ((pk >> 8) & 0xFF).astype(jnp.float32) / 255.0
+    cb = (pk & 0xFF).astype(jnp.float32) / 255.0
 
     # ---- shading (Blinn-Phong, light (0,4,2) x 0.66, shininess 300) ----
     px = ex + t * dx
@@ -570,22 +616,36 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
     # (a VMEM scalar read costs a vector access). Tables are per-env blocks;
     # keep the prim table in SMEM whenever it plausibly fits alongside the
     # other scalar blocks.
-    prim_space = (pltpu.SMEM if num_prims * 16 * 4 <= PRIM_SMEM_LIMIT_BYTES
-                  else pltpu.VMEM)
-    inputs = [cams, prims]
+    row_w = prims.shape[-1]
+    assert row_w == ROW_W, row_w
+    prim_flat = num_prims * row_w * 4 <= PRIM_SMEM_LIMIT_BYTES
+    inputs = [cams]
     in_specs = [
         pl.BlockSpec((1, num_agents, 8), lambda b, a, h: (b, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, num_prims, 16), lambda b, a, h: (b, 0, 0),
-                     memory_space=prim_space),
     ]
+    if prim_flat:
+        # SMEM pads each window's minor dim to 1 KB: ship the table as one
+        # flat [1, M*12] vector per env (the kernel strides by ROW_W; the
+        # middle singleton keeps the last two block dims equal to the array's,
+        # which the TPU lowering requires).
+        inputs.append(prims.reshape(bsz, 1, num_prims * row_w))
+        in_specs.append(
+            pl.BlockSpec((1, 1, num_prims * row_w), lambda b, a, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM))
+    else:
+        inputs.append(prims)
+        in_specs.append(
+            pl.BlockSpec((1, num_prims, row_w), lambda b, a, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM))
     if clusters is not None:
         cluster_k = CLUSTER_K
         assert num_prims % cluster_k == 0, (num_prims, cluster_k)
         assert clusters.shape[1] == num_prims // cluster_k
-        inputs.append(clusters)
+        inputs.append(clusters.reshape(bsz, 1, clusters.shape[1] * 8))
         in_specs.append(
-            pl.BlockSpec((1, clusters.shape[1], 8), lambda b, a, h: (b, 0, 0),
+            pl.BlockSpec((1, 1, clusters.shape[1] * 8),
+                         lambda b, a, h: (b, 0, 0),
                          memory_space=pltpu.SMEM))
         if order is not None:
             g = clusters.shape[1]
@@ -618,7 +678,7 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
         _render_kernel, height=height, width=width, num_prims=num_prims,
         cluster_k=cluster_k, sorted_order=order is not None,
         early_exit=order is not None and dist is not None,
-        per_tile=per_tile,
+        per_tile=per_tile, prim_flat=prim_flat,
     )
     return pl.pallas_call(
         kernel,
@@ -642,12 +702,12 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
     m = prims.shape[0]
     pad = (-m) % k
     if pad:
-        dead = jnp.zeros((pad, 16), prims.dtype).at[:, 0].set(-1.0)
+        dead = jnp.zeros((pad, prims.shape[1]), prims.dtype).at[:, 0].set(-1.0)
         prims = jnp.concatenate([prims, dead])
     ptype = prims[:, 0].astype(jnp.int32)
     a = prims[:, 1:4]
     b = prims[:, 4:7]
-    c = prims[:, 10:13]
+    c = prims[:, 8:11]
 
     # Conservative half extents about center `a` for non-box rows.
     quad_he = jnp.stack([b[:, 0], b[:, 2], b[:, 1]], axis=1)  # cyl/cone
@@ -825,20 +885,24 @@ def build_prim_table(
     agents: AgentState,
     include_agent_rows: bool = True,
 ) -> jax.Array:
-    """Unified primitive table [M_total, 16] for one env.
+    """Unified primitive table [M_total, 12] for one env.
 
     include_agent_rows=False drops the agent body/eye rows: for first-person
     rendering with a single agent they can never be visible (the camera sits
     inside both and inside hits are culled), so the renderer skips them.
     Overview/hires cameras must pass True."""
-    palette = jnp.asarray(C.PALETTE, jnp.float32)
+    # packed-int palette (float-exact: values <= 0xFFFFFF < 2^24)
+    pal8 = np.round(np.asarray(C.PALETTE) * 255.0).astype(np.int64)
+    palette = jnp.asarray(
+        (pal8[:, 0] << 16) | (pal8[:, 1] << 8) | pal8[:, 2], jnp.float32)
+    palette = palette[:, None]  # [N, 1]
 
     # Layout boxes.
     m = box_lo.shape[0]
     t_box = jnp.where(box_color > 0, PRIM_AABB, -1).astype(jnp.float32)
     rows_box = jnp.concatenate(
         [t_box[:, None], box_lo, box_hi, palette[box_color],
-         jnp.zeros((m, 6), jnp.float32)], axis=1)
+         jnp.zeros((m, 4), jnp.float32)], axis=1)
 
     # Props.
     p = props.type.shape[0]
@@ -872,7 +936,7 @@ def build_prim_table(
     c_vec = jnp.where(is_rot, sc, jnp.zeros_like(sc))
     rows_prop = jnp.concatenate(
         [ktype[:, None], a_vec, b_vec, palette[props.color], c_vec,
-         jnp.zeros((p, 3), jnp.float32)], axis=1)
+         jnp.zeros((p, 1), jnp.float32)], axis=1)
 
     # Agent bodies + eye boxes.
     if not include_agent_rows:
@@ -885,7 +949,7 @@ def build_prim_table(
     body_rgb = palette[agent_colors[jnp.arange(num_agents) % agent_colors.shape[0]]]
     rows_body = jnp.concatenate(
         [jnp.full((num_agents, 1), PRIM_ELLIPSOID, jnp.float32), body_c, body_r,
-         body_rgb, jnp.zeros((num_agents, 6), jnp.float32)], axis=1)
+         body_rgb, jnp.zeros((num_agents, 4), jnp.float32)], axis=1)
 
     cam_pos = agents.pos + jnp.asarray(
         [0.0, C.AGENT_BODY_OFFSET_Y + C.AGENT_CAMERA_OFFSET_Y, 0.0], jnp.float32)
@@ -893,7 +957,7 @@ def build_prim_table(
     rows_eyes = jnp.concatenate(
         [jnp.full((num_agents, 1), PRIM_EYEBOX, jnp.float32), cam_pos,
          jnp.stack([agents.yaw, agents.pitch, jnp.zeros_like(agents.yaw)], axis=1),
-         eye_rgb, jnp.zeros((num_agents, 6), jnp.float32)], axis=1)
+         eye_rgb, jnp.zeros((num_agents, 4), jnp.float32)], axis=1)
 
     return jnp.concatenate([rows_box, rows_prop, rows_body, rows_eyes], axis=0)
 
