@@ -68,14 +68,25 @@ def main() -> None:
         return jax.profiler.trace(
             os.path.join(args.trace_dir, name.split()[0]))
 
+    # Timing fence: on the tunneled axon platform, block_until_ready of a
+    # result whose program contains certain custom calls (Pallas) can resolve
+    # BEFORE execution finishes; only a concrete value fetch is a reliable
+    # fence (same caveat as bench.py). Fence by fetching a scalar element of
+    # the final output.
+    _sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+    def _fence(out):
+        leaf = jax.tree.leaves(out)[0]
+        _ = float(_sum(leaf))  # scalar fetch; full-array pulls distort timing
+
     def timeit(name, fn, *fargs):
         out = fn(*fargs)
-        jax.block_until_ready(out)
+        _fence(out)
         with trace_cm(name):
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 out = fn(*fargs)
-            jax.block_until_ready(out)
+            _fence(out)
             dt = (time.perf_counter() - t0) / args.steps
         fps = args.num_envs * args.num_agents / dt
         print(f"{name:28s} {dt*1e3:9.3f} ms/step   {fps:12.0f} obs/s-equivalent")

@@ -87,6 +87,29 @@ def test_rl_smoke_sokoban_random_steps():
     env.close()
 
 
+def test_enjoy_playback_with_checkpoint(tmp_path):
+    """enjoy loads a train-format checkpoint and rolls episodes."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from megaverse_tpu.models.actor_critic import ActorCritic
+    from megaverse_tpu.rl import enjoy
+
+    model = ActorCritic(hidden_size=512, use_rnn=True)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 72, 128, 3), jnp.uint8),
+                        jnp.zeros((1, 512)))
+    ckpt = tmp_path / "checkpoint.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"params": jax.tree.map(np.asarray, params),
+                     "steps": 123}, f)
+    rc = enjoy.main(["--env", "Empty", "--episodes", "1", "--max_steps", "6",
+                     "--checkpoint", str(ckpt)])
+    assert rc == 0
+
+
 def test_step_many_scan_packed_and_rgb():
     """lax.scan chunk mode must be carry-type-stable for both obs formats."""
     os.environ["MEGAVERSE_SCAN_STEPS"] = "1"
