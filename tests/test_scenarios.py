@@ -167,6 +167,29 @@ def test_boxagone_tile_expires():
     assert not (vt & C.VOXEL_SOLID)
 
 
+def test_tower_reward_formula():
+    """calculateTowerReward: sum over boxes in the zone of
+    height*0.05 + min(0.05*2^h, 20) (scenario_tower_building.cpp:232-258);
+    first-pickup reward fires once per agent."""
+    s, state = _single_env("TowerBuilding", seed=7)
+    sc = state.scen
+    zone = np.asarray(sc.zone)  # [x0, x1, z0, z1]
+    vobj = np.asarray(state.vobj).copy()
+    vobj[:] = 0
+    # stack three boxes at heights 1..3 inside the zone
+    x, z = int(zone[0]), int(zone[2])
+    for y in (1, 2, 3):
+        vobj[x, y, z] = 1
+    state = state.replace(vobj=jnp.asarray(vobj))
+    got = float(s._tower_reward(state, sc.zone))
+    want = sum(y * 0.05 + min(0.05 * 2.0 ** y, 20.0) for y in (1, 2, 3))
+    assert got == pytest.approx(want, abs=1e-5)
+    # the per-height coefficient saturates at 20
+    from megaverse_tpu.scenarios.tower_building import _height_coeff
+    assert float(_height_coeff(jnp.asarray(30.0))) == pytest.approx(
+        30 * 0.05 + 20.0)
+
+
 def test_football_kick_and_push():
     """Interact within 1.8 m kicks the ball away (70 N, up-bias,
     scenario_football.cpp:143-164); walking contact pushes it out of
