@@ -162,15 +162,19 @@ def renderer_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
-def pick_render_backend(scenario, min_rows: int = 256) -> str:
+def pick_render_backend(scenario, min_rows: int = 24) -> str:
     """Scene-size-aware backend choice, shared by VectorEnv and the learner.
 
-    On TPU, heavy scenes (>= min_rows worst-case table rows) use the
-    cluster-culled Pallas kernel; tiny scenes use the trace-time-unrolled XLA
-    renderer, which fuses into the surrounding step/rollout program (no
-    per-call kernel dispatch — ~5x faster on Empty, and the only fast option
-    inside lax.scan rollouts on dispatch-latency-bound dev TPUs). Elsewhere
-    (CPU tests) the rolled XLA table scan. MEGAVERSE_RENDERER overrides."""
+    On TPU, scenes with >= min_rows worst-case table rows use the culled
+    Pallas kernel — with per-tile frustum lists + early ray termination it
+    beats the unrolled XLA renderer from a few dozen rows up (measured:
+    Sokoban ~113 rows 1.6x, TowerBuilding 6.4x, Rearrange 3.8x). Near-empty
+    scenes (Empty/Test: a couple of floor boxes) stay on the trace-time-
+    unrolled XLA renderer, which fuses into the surrounding step/rollout
+    program — it rides the HBM obs-write floor with zero per-call dispatch,
+    and is the only fast option inside lax.scan rollouts on dispatch-latency-
+    bound dev TPUs. Elsewhere (CPU tests) the rolled XLA table scan.
+    MEGAVERSE_RENDERER overrides."""
     import os
 
     env = os.environ.get("MEGAVERSE_RENDERER")

@@ -129,11 +129,11 @@ class VectorEnv:
     # ---------------------------------------------------------------- renderer
     def _pick_backend(self) -> str:
         """Renderer backend for this env's scenario (see
-        env.pick_render_backend: Pallas for heavy scenes, fused unroll for
-        tiny ones, MEGAVERSE_RENDERER override)."""
+        env.pick_render_backend: culled Pallas from a few dozen rows up,
+        fused unroll for near-empty scenes, MEGAVERSE_RENDERER override)."""
         from megaverse_tpu.env import pick_render_backend
 
-        return pick_render_backend(self.scenario, self._CLASS_MIN_ROWS)
+        return pick_render_backend(self.scenario)
 
     def _build_render_fns(self) -> None:
         """(Re)jit every render-dependent program for the current bucket."""
