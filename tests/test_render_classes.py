@@ -78,6 +78,9 @@ def test_backend_auto_pick(monkeypatch):
                      num_agents_per_env=1)._backend == "unroll"
     assert VectorEnv("Collect", num_envs=2, render=False,
                      num_agents_per_env=1)._backend == "pallas"
+    # mid-size scenes (~113 worst-case rows) also take the culled kernel
+    assert VectorEnv("Sokoban", num_envs=2, render=False,
+                     num_agents_per_env=1)._backend == "pallas"
     monkeypatch.setenv("MEGAVERSE_RENDERER", "xla")
     assert VectorEnv("Collect", num_envs=2, render=False,
                      num_agents_per_env=1)._backend == "xla"
