@@ -181,6 +181,29 @@ class GraphMaze:
         with open(path, "w") as f:
             f.write("\n".join(lines))
 
+    def to_gnuplot(self, path: str) -> None:
+        """Gnuplot script output (ref maze.cpp:80-106 PrintMazeGnuplot):
+        one arrow-nohead per remaining wall segment plus a plot stanza."""
+        segs = self.walls()
+        xs = [c for s in segs for c in (s[0], s[2])]
+        ys = [c for s in segs for c in (s[1], s[3])]
+        pad = 1.0
+        lines = [
+            "unset border",
+            "unset tics",
+            "set samples 15",
+            f"set xrange [{min(xs) - pad:.3f}:{max(xs) + pad:.3f}]",
+            f"set yrange [{min(ys) - pad:.3f}:{max(ys) + pad:.3f}]",
+            "set size ratio -1",
+        ]
+        for (x1, y1, x2, y2) in segs:
+            lines.append(
+                f"set arrow from {x1:.4f},{y1:.4f} to {x2:.4f},{y2:.4f} "
+                "nohead lw 2")
+        lines.append("plot -100 notitle")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
 
 # ---------------------------------------------------------------------------
 # Shapes
@@ -236,6 +259,123 @@ def honeycomb_maze(size: int) -> GraphMaze:
             else:
                 outer.append(H._edge(u, v, n))
     return GraphMaze(centers, interior, outer)
+
+
+def hexagonal_maze(size: int) -> GraphMaze:
+    """Hexagon-shaped maze of 6*size^2 unit TRIANGLE cells (ref
+    hexagonalmaze.cpp: hexagon split into 6 triangular sectors of size^2
+    triangles each). Built lattice-first: enumerate up/down triangles of the
+    unit triangular lattice whose vertices all fall inside the regular
+    hexagon of circumradius `size`, then derive adjacency from shared lattice
+    edges — same cell set and topology, no sector bookkeeping."""
+    s3 = math.sqrt(3.0)
+    e1 = (1.0, 0.0)
+    e2 = (0.5, s3 / 2.0)
+
+    def lat(a: int, b: int) -> Tuple[float, float]:
+        return (a * e1[0] + b * e2[0], a * e1[1] + b * e2[1])
+
+    def in_hex(p: Tuple[float, float]) -> bool:
+        # regular hexagon, circumradius size, vertices at 0/60/.../300 deg:
+        # inside iff |p . n| <= apothem for the three edge normals.
+        x, y = p
+        apothem = size * s3 / 2.0 + 1e-9
+        for ang in (math.pi / 2, math.pi / 6 * 5, math.pi / 6):
+            if abs(x * math.cos(ang) + y * math.sin(ang)) > apothem:
+                return False
+        return True
+
+    cells: List[Tuple[Tuple[int, int], ...]] = []  # 3 lattice vertices each
+    for a in range(-2 * size, 2 * size + 1):
+        for b in range(-2 * size, 2 * size + 1):
+            up = ((a, b), (a + 1, b), (a, b + 1))
+            dn = ((a + 1, b), (a, b + 1), (a + 1, b + 1))
+            for tri in (up, dn):
+                if all(in_hex(lat(*v)) for v in tri):
+                    cells.append(tri)
+    assert len(cells) == 6 * size * size, len(cells)
+
+    centers = np.array(
+        [np.mean([lat(*v) for v in tri], axis=0) for tri in cells])
+    edge_cells: Dict[frozenset, List[int]] = {}
+    for i, tri in enumerate(cells):
+        for k in range(3):
+            key = frozenset((tri[k], tri[(k + 1) % 3]))
+            edge_cells.setdefault(key, []).append(i)
+    interior: List[Edge] = []
+    outer = []
+    for key, owners in edge_cells.items():
+        (v1, v2) = sorted(key)
+        seg = (*lat(*v1), *lat(*v2))
+        if len(owners) == 2:
+            interior.append((owners[0], owners[1], seg))
+        else:
+            outer.append(seg)
+    return GraphMaze(centers, interior, outer)
+
+
+def circular_hexagon_maze(rings: int) -> GraphMaze:
+    """Concentric-ring maze with the hexagonal maze's cell counts — ring r
+    holds 6*(2r+1) cells, one per triangle of hexagonal row r (ref
+    circularhexagonmaze.cpp maps the triangle grid onto annuli; arcs are
+    chord-approximated like circular_maze)."""
+    centers = []
+    ring_start = []
+    for r in range(rings):
+        ring_start.append(len(centers))
+        n = 6 * (2 * r + 1)
+        for k in range(n):
+            th = 2 * math.pi * (k + 0.5) / n
+            centers.append(((r + 0.5) * math.cos(th), (r + 0.5) * math.sin(th)))
+
+    interior: List[Edge] = []
+    outer = []
+
+    def radial(r, th):
+        return (r * math.cos(th), r * math.sin(th),
+                (r + 1) * math.cos(th), (r + 1) * math.sin(th))
+
+    def chord(r, th1, th2):
+        return (r * math.cos(th1), r * math.sin(th1),
+                r * math.cos(th2), r * math.sin(th2))
+
+    for r in range(rings):
+        n = 6 * (2 * r + 1)
+        for k in range(n):
+            i = ring_start[r] + k
+            th2 = 2 * math.pi * (k + 1) / n
+            # tangential neighbor (radial wall); ring 0's hub cells meet at
+            # the center so the wall spans the full annulus
+            if n > 1:
+                j = ring_start[r] + (k + 1) % n
+                interior.append((i, j, radial(r, th2)))
+            # inward neighbors: ring r-1 cells whose angular span overlaps
+            if r > 0:
+                m = 6 * (2 * r - 1)
+                lo = 2 * math.pi * k / n
+                hi = th2
+                k_lo = int(math.floor(lo / (2 * math.pi) * m - 1e-9))
+                k_hi = int(math.ceil(hi / (2 * math.pi) * m + 1e-9))
+                for kk in range(k_lo, k_hi):
+                    a1 = max(lo, 2 * math.pi * kk / m)
+                    a2 = min(hi, 2 * math.pi * (kk + 1) / m)
+                    if a2 - a1 < 1e-9:
+                        continue
+                    inner = ring_start[r - 1] + (kk % m)
+                    interior.append((i, inner, chord(r, a1, a2)))
+            if r == rings - 1:
+                outer.append(chord(r + 1, 2 * math.pi * k / n, th2))
+    return GraphMaze(np.asarray(centers), interior, outer)
+
+
+def user_maze(centers: Sequence[Tuple[float, float]],
+              edges: Sequence[Tuple[int, int, Tuple[float, float, float, float]]],
+              outer: Sequence[Tuple[float, float, float, float]] = ()) -> GraphMaze:
+    """Maze over a user-supplied cell graph (ref usermaze.cpp: Maze built
+    from an externally provided adjacency list). `edges` are
+    (cell_i, cell_j, wall segment); walls on the spanning tree are removed
+    by generate()."""
+    return GraphMaze(np.asarray(centers, np.float64), list(edges), list(outer))
 
 
 def circular_maze(rings: int) -> GraphMaze:
