@@ -52,21 +52,30 @@ class ConvEncoder(nn.Module):
 
 
 class ActorCritic(nn.Module):
-    """Conv encoder + optional GRU core + 6 categorical heads + value head."""
+    """Conv encoder + optional stacked-GRU core + 6 categorical heads + value
+    head. rnn_num_layers matches the reference training commands
+    (megaverse_rl/runs/*.py: --rnn_num_layers=2); the carry of all layers is
+    packed into one [..., layers*hidden] tensor so callers treat it opaquely."""
 
     hidden_size: int = 512
     use_rnn: bool = True
+    rnn_num_layers: int = 2
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
         self.encoder = ConvEncoder(self.hidden_size, self.dtype)
         if self.use_rnn:
-            self.core = nn.GRUCell(features=self.hidden_size)
+            self.core = [nn.GRUCell(features=self.hidden_size)
+                         for _ in range(self.rnn_num_layers)]
         self.action_heads = [nn.Dense(n) for n in ACTION_HEADS]
         self.value_head = nn.Dense(1)
 
+    @property
+    def carry_size(self) -> int:
+        return self.hidden_size * (self.rnn_num_layers if self.use_rnn else 1)
+
     def initial_carry(self, batch_shape: Tuple[int, ...]) -> jax.Array:
-        return jnp.zeros(batch_shape + (self.hidden_size,), jnp.float32)
+        return jnp.zeros(batch_shape + (self.carry_size,), jnp.float32)
 
     def __call__(self, obs: jax.Array, carry: Optional[jax.Array] = None):
         """obs [..., H, W, 3] u8 -> (logits tuple, value [...], new_carry)."""
@@ -74,7 +83,12 @@ class ActorCritic(nn.Module):
         if self.use_rnn:
             if carry is None:
                 carry = self.initial_carry(x.shape[:-1])
-            carry, x = self.core(carry, x)
+            h = self.hidden_size
+            new_layers = []
+            for li, cell in enumerate(self.core):
+                c, x = cell(carry[..., li * h:(li + 1) * h], x)
+                new_layers.append(c)
+            carry = jnp.concatenate(new_layers, axis=-1)
         logits = tuple(head(x) for head in self.action_heads)
         value = self.value_head(x)[..., 0]
         return logits, value, carry

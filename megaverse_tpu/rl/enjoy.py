@@ -37,12 +37,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hidden_size", type=int, default=512)
     p.add_argument("--use_rnn", type=int, default=1)
+    p.add_argument("--rnn_num_layers", type=int, default=2)
     p.add_argument("--record_dir", default=None)
     args = p.parse_args(argv)
 
     env = VectorEnv(args.env, num_envs=1,
                     num_agents_per_env=args.num_agents_per_env, seed=args.seed)
-    model = ActorCritic(hidden_size=args.hidden_size, use_rnn=bool(args.use_rnn))
+    model = ActorCritic(hidden_size=args.hidden_size, use_rnn=bool(args.use_rnn),
+                        rnn_num_layers=args.rnn_num_layers)
 
     obs = env.reset()
     if args.checkpoint:
@@ -59,7 +61,7 @@ def main(argv=None):
     frames = []
 
     for ep in range(args.episodes):
-        carry = jnp.zeros((1, args.num_agents_per_env, args.hidden_size))
+        carry = model.initial_carry((1, args.num_agents_per_env))
         total = np.zeros(args.num_agents_per_env)
         for step in range(args.max_steps):
             rng, k = jax.random.split(rng)

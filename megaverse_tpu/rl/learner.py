@@ -45,9 +45,11 @@ class TrainConfig:
     clip_ratio: float = 0.1
     value_coeff: float = 0.5
     exploration_coeff: float = 0.001  # symmetric_kl, megaverse_params.py:17
-    max_grad_norm: float = 4.0
+    max_grad_norm: float = 4.0  # 0 disables clipping (reference runs pass 0)
+    reward_clip: float = 30.0   # clamp |reward| before the update (SF --reward_clip)
     hidden_size: int = 512
     use_rnn: bool = True
+    rnn_num_layers: int = 2     # reference runs: --rnn_num_layers=2
 
 
 class RolloutBatch(NamedTuple):
@@ -88,11 +90,11 @@ class Learner:
         from megaverse_tpu.env import pick_render_backend
 
         self.render_backend = render_backend or pick_render_backend(scenario)
-        self.model = ActorCritic(hidden_size=cfg.hidden_size, use_rnn=cfg.use_rnn)
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adam(cfg.lr),
-        )
+        self.model = ActorCritic(hidden_size=cfg.hidden_size, use_rnn=cfg.use_rnn,
+                                 rnn_num_layers=cfg.rnn_num_layers)
+        clip = ([optax.clip_by_global_norm(cfg.max_grad_norm)]
+                if cfg.max_grad_norm > 0 else [])
+        self.tx = optax.chain(*clip, optax.adam(cfg.lr))
 
     # ------------------------------------------------------------------ init
     def init(self, rng: jax.Array, env_state: EnvState, obs: jax.Array) -> LearnerState:
@@ -101,7 +103,7 @@ class Learner:
         params = self.model.init(rng, dummy)
         opt_state = self.tx.init(params)
         b, a = self.num_envs, scen.num_agents
-        carry = jnp.zeros((b, a, self.cfg.hidden_size), jnp.float32)
+        carry = self.model.initial_carry((b, a))
         return LearnerState(params, opt_state, env_state, obs, carry,
                             jax.random.fold_in(rng, 1), jnp.asarray(0, jnp.int32))
 
@@ -130,7 +132,11 @@ class Learner:
                                    backend=self.render_backend)
             # reset RNN state on episode boundary
             rnn2 = jnp.where(res.done[:, None, None], 0.0, rnn2)
-            out = (obs, actions.astype(jnp.int32), logp, value, res.reward, res.done)
+            reward = res.reward
+            if self.cfg.reward_clip > 0:
+                reward = jnp.clip(reward, -self.cfg.reward_clip,
+                                  self.cfg.reward_clip)
+            out = (obs, actions.astype(jnp.int32), logp, value, reward, res.done)
             return (res.state, new_obs, rnn2, rng), out
 
         (env_state, obs, rnn, rng), traj = jax.lax.scan(

@@ -83,7 +83,8 @@ class RunDescription:
 
 _TRAIN = (
     f"{sys.executable} -m megaverse_tpu.rl.train --gamma=0.997 --use_rnn=1 "
-    "--rollout=32 --train_for_env_steps=2000000000"
+    "--rnn_num_layers=2 --reward_clip=30 --rollout=32 "
+    "--train_for_env_steps=2000000000"
 )
 _GRID_ENV_SEED = ParamGrid([("env", MEGAVERSE8), ("seed", SEEDS)])
 

@@ -43,6 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--rollout", type=int, default=32)
     p.add_argument("--hidden_size", type=int, default=512)
     p.add_argument("--use_rnn", type=int, default=1)
+    p.add_argument("--rnn_num_layers", type=int, default=2)
+    p.add_argument("--reward_clip", type=float, default=30.0,
+                   help="clamp |reward| before the PPO update; 0 disables")
+    p.add_argument("--max_grad_norm", type=float, default=4.0,
+                   help="global grad-norm clip; 0 disables (reference runs)")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--gamma", type=float, default=0.997)
     p.add_argument("--seed", type=int, default=42)
@@ -162,7 +167,10 @@ def main(argv=None):
 
     cfg = TrainConfig(rollout=args.rollout, lr=args.learning_rate,
                       gamma=args.gamma, hidden_size=args.hidden_size,
-                      use_rnn=bool(args.use_rnn))
+                      use_rnn=bool(args.use_rnn),
+                      rnn_num_layers=args.rnn_num_layers,
+                      reward_clip=args.reward_clip,
+                      max_grad_norm=args.max_grad_norm)
     mesh = make_mesh(args.n_devices)
 
     names = resolve_task_list(args.env)

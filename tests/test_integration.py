@@ -100,7 +100,7 @@ def test_enjoy_playback_with_checkpoint(tmp_path):
     model = ActorCritic(hidden_size=512, use_rnn=True)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 72, 128, 3), jnp.uint8),
-                        jnp.zeros((1, 512)))
+                        jnp.zeros((1, model.carry_size)))
     ckpt = tmp_path / "checkpoint.pkl"
     with open(ckpt, "wb") as f:
         pickle.dump({"params": jax.tree.map(np.asarray, params),

@@ -62,3 +62,21 @@ def test_entropy_starts_uniform():
     _, metrics = learner.train_step(ls, nxt, shaping)
     # uniform over Tuple(3,3,3,2,2,3): ln(3^4 * 2^2) = 5.783
     assert abs(float(metrics["entropy"]) - 5.783) < 0.2
+
+
+def test_stacked_rnn_carry_and_reward_clip():
+    """rnn_num_layers stacks GRU cells into one packed carry; rewards are
+    clamped to +-reward_clip before the update (SF --reward_clip=30)."""
+    scenario, state, obs, nxt = _setup(2)
+    cfg = TrainConfig(rollout=2, use_rnn=True, rnn_num_layers=2,
+                      hidden_size=64, reward_clip=30.0)
+    learner = Learner(scenario, 2, cfg)
+    assert learner.model.carry_size == 128
+    ls = learner.init(jax.random.PRNGKey(0), state, obs)
+    assert ls.carry.shape[-1] == 128
+    ls2, batch = learner.collect_rollout(
+        ls, nxt, jnp.asarray(np.tile(scenario.shaping_array()[None], (2, 1, 1))))
+    # both layers' carries update
+    c = np.asarray(ls2.carry)
+    assert np.abs(c[..., :64]).max() > 0 and np.abs(c[..., 64:]).max() > 0
+    assert float(np.abs(np.asarray(batch.reward)).max()) <= 30.0
