@@ -162,7 +162,7 @@ class MegaverseEnv:
     def render(self, mode="human"):
         """Tiled grid of agent views (ref render, megaverse_env.py:170-184);
         returns the composed image instead of opening a window."""
-        obs = np.asarray(self.env.unpack_obs(self.env._vrender(self.env.state)))
+        obs = np.asarray(self.env.unpack_obs(self.env.render()))
         rows = [np.concatenate(list(obs[e]), axis=1) for e in range(self.num_envs)]
         return np.concatenate(rows, axis=0)
 
@@ -181,4 +181,6 @@ class MegaverseEnv:
         return self.env.set_reward_shaping(env_idx, agent_idx, reward_shaping)
 
     def close(self):
+        if self.env is not None:
+            self.env.close()
         self.env = None

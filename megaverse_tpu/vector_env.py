@@ -505,14 +505,24 @@ class VectorEnv:
           in this container, a Pallas call inside an XLA loop degrades to a
           ~100 ms host round-trip per iteration, so it is off by default.
 
-        n_steps should stay well below the shortest episode length in steps so
-        a layout-buffer slot cannot be consumed twice within one chunk.
+        n_steps must stay below the shortest episode length in steps so a
+        layout-buffer slot cannot be consumed twice within one chunk
+        (asserted against the scenario's base episode_length_sec — per-episode
+        extensions like TowerBuilding's +4 s/box only lengthen episodes).
         """
         import os
 
         if self.state is None:
             self.reset()
         self._refill_consumed_slots()
+        min_ep_steps = int(
+            float(self.scenario.cfg.params.get(C.P_EPISODE_LENGTH_SEC, 60.0))
+            / self.scenario.cfg.dt)
+        if n_steps >= min_ep_steps:
+            raise ValueError(
+                f"step_many(n_steps={n_steps}) >= shortest episode "
+                f"({min_ep_steps} steps): a layout-buffer slot could be "
+                f"consumed twice before refill; use smaller chunks")
 
         if os.environ.get("MEGAVERSE_SCAN_STEPS") == "1":
             return self._step_many_scan(jnp.asarray(action_pool, jnp.int32), n_steps)
@@ -599,6 +609,15 @@ class VectorEnv:
     def flush(self) -> None:
         """Force buffer refill bookkeeping (call before relying on layouts)."""
         self._refill_consumed_slots()
+
+    def render(self) -> jax.Array:
+        """Re-render the current state (all env x agent views), through the
+        same render path as step (size classes / bucketed tables)."""
+        if self.state is None:
+            return self.reset()
+        if self._use_classes:
+            return self._render_classes(self.state)
+        return self._vrender(self.state)
 
     def _accumulate_dones(self, done: jax.Array) -> None:
         if not hasattr(self, "_acc_dones_fn"):

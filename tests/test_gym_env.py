@@ -74,3 +74,45 @@ def test_render_returns_tiled_image():
     env.reset()
     img = env.render()
     assert img.shape == (72, 2 * 128, 3)
+
+
+def test_external_trainer_wrapper():
+    """MegaverseWrapper: SF-style shaping/training-info interfaces + episode
+    stats + team-spirit annealing (ref megaverse_utils.py:30-90)."""
+    from megaverse_tpu.rl.wrappers import MegaverseWrapper
+
+    env = MegaverseEnv("Empty", num_envs=1, num_agents_per_env=2,
+                       params={C.P_EPISODE_LENGTH_SEC: 0.5})
+    w = MegaverseWrapper(env, increase_team_spirit=True,
+                         max_team_spirit_steps=100.0)
+    w.set_training_info({"approx_total_training_steps": 50})
+    obs, info0 = w.reset()
+    assert len(obs) == 2 and info0 == {}
+
+    acts = [np.zeros(6, np.int64)] * 2
+    saw_done = False
+    for _ in range(12):
+        obs, rew, dones, trunc, infos = w.step(acts)
+        assert trunc == [False, False]
+        if dones[0]:
+            saw_done = True
+            extra = infos[0]["episode_extra_stats"]
+            assert "true_objective" in infos[0]
+            assert "z_empty_reward" in extra
+            assert extra["z_approx_total_training_steps"] == 50
+            # annealed teamSpirit = 50/100
+            assert abs(w.get_current_reward_shaping(0)["teamSpirit"] - 0.5) < 1e-6
+            break
+    assert saw_done
+    # episode reward accumulator resets on done
+    assert w.episode_rewards == [0.0, 0.0]
+    w.close()
+
+
+def test_make_megaverse_factory():
+    from megaverse_tpu.rl.wrappers import make_megaverse
+
+    w = make_megaverse("Empty")
+    obs, _ = w.reset()
+    assert len(obs) == 1
+    w.close()
