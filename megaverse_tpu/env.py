@@ -59,7 +59,7 @@ def env_step(
 
     # Physics (env.cpp:126: bWorld.stepSimulation -> KCC playerStep per agent).
     agents = P.player_step(cfg.grid, state.vtype, state.agents, dt)
-    agents = P.resolve_agent_collisions(agents)
+    agents = P.resolve_agent_collisions(agents, cfg.grid, state.vtype)
     state = state.replace(agents=agents)
 
     # Scenario logic + rewards (env.cpp:131).
@@ -110,6 +110,7 @@ def render_state(scenario: Scenario, state: EnvState) -> jax.Array:
         state.props,
         state.agents,
         remaining,
+        last_reward=state.last_reward,
     )
 
 
@@ -200,6 +201,7 @@ class RenderView(NamedTuple):
     agents: "AgentState"
     episode_sec: jax.Array
     episode_len_sec: jax.Array
+    last_reward: jax.Array
 
     def replace(self, **kw) -> "RenderView":
         return self._replace(**kw)
@@ -210,6 +212,7 @@ def render_view(states: EnvState) -> RenderView:
         box_lo=states.box_lo, box_hi=states.box_hi, box_color=states.box_color,
         props=states.props, agents=states.agents,
         episode_sec=states.episode_sec, episode_len_sec=states.episode_len_sec,
+        last_reward=states.last_reward,
     )
 
 
@@ -294,11 +297,13 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
             )
         )(states)
 
+    ui_ind = float(cfg.params.get(C.P_USE_UI_REWARD_INDICATORS, 0.0)) > 0
     if backend == "pallas":
         import os
 
         cams = jax.vmap(
-            lambda s, tf: RP.build_cams(cfg, s.agents, tf))(states, remaining)
+            lambda s, tf: RP.build_cams(cfg, s.agents, tf, s.last_reward)
+        )(states, remaining)
         prims = make_prims(states)
         clusters = order = dist = None
         if not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
@@ -318,19 +323,22 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
                     order, dist = RP.frustum_cull(
                         cams, clusters, cfg.obs_height, cfg.obs_width)
         packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width,
-                                  clusters=clusters, order=order, dist=dist)
+                                  clusters=clusters, order=order, dist=dist,
+                                  ui_indicators=ui_ind)
     elif backend == "unroll":
         # Trace-time-unrolled XLA renderer: fastest for small scenes; compile
         # time grows with primitive count (use for benchmark scenarios).
         packed = jax.vmap(
             lambda s, tf: R.render_packed(cfg, s.box_lo, s.box_hi, s.box_color,
                                           s.props, s.agents, tf,
-                                          segments=segments)
+                                          segments=segments,
+                                          last_reward=s.last_reward)
         )(states, remaining)
     else:
         # XLA fallback: rolled scan over the same table.
         def one(s, prim, tf):
-            return R.render_table_packed(cfg, s.agents, prim, tf)
+            return R.render_table_packed(cfg, s.agents, prim, tf,
+                                         last_reward=s.last_reward)
 
         packed = jax.vmap(one)(states, make_prims(states), remaining)
     if fmt == "packed":

@@ -65,8 +65,14 @@ def solid_at(cfg: GridConfig, vtype: jax.Array, ii: jax.Array) -> jax.Array:
 
 
 def span_for(cfg: GridConfig, size_world) -> Tuple[int, ...]:
-    """Static per-axis voxel span (max cells covered) for a box of given size."""
-    return tuple(int(math.floor(s / cfg.voxel_size)) + 1 for s in size_world)
+    """Static per-axis voxel span (max cells covered) for a box of given size.
+
+    An interval of length L at arbitrary alignment overlaps up to
+    floor(L / voxel) + 2 cells (e.g. L = 0.66 straddling a cell boundary
+    covers 2). The previous +1 bound assumed aligned placement and let a
+    wall-straddling capsule footprint skip the far column (momentary
+    tunneling, wrong floor detection on ledges)."""
+    return tuple(int(math.floor(s / cfg.voxel_size)) + 2 for s in size_world)
 
 
 def _offsets(*spans: int) -> jax.Array:

@@ -120,39 +120,102 @@ def apply_acceleration(agents: AgentState, action: jax.Array, dt: float) -> Agen
     return agents.replace(hvel=hvel, vvel=vvel, jumping=jumping)
 
 
-def _slide_axis(cfg: GridConfig, vtype: jax.Array, pos: jax.Array, axis: int, delta: jax.Array) -> jax.Array:
-    """Move along one horizontal axis with wall clamping.
+def _sweep_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
+                      dx: jax.Array, dz: jax.Array):
+    """First time-of-impact for the capsule AABB translating by (dx, 0, dz).
 
-    |delta| must be < voxel_size and < HALF_XZ (true at 15 Hz: max 0.3 m/tick),
-    so at most one new voxel column can be entered.
+    Axis-aligned specialization of the ghost-object convex sweep
+    (kcc.cpp:360-364): with |dx|,|dz| < voxel_size (true at 15 Hz: max
+    0.3 m/tick) each axis crosses at most one voxel plane, so the sweep has at
+    most two events — entering a new x column and a new z row. An event
+    collides if any voxel in the entered slab (at the slab's crossing time,
+    using the other axis's extent AT that time) is solid.
+
+    Returns (t [0..1] fraction before impact, hit bool, hit_is_x bool).
     """
-    he = jnp.array([HALF_XZ, HALF_Y, HALF_XZ], jnp.float32)
-    new_pos = pos.at[..., axis].add(delta)
-    lo = new_pos - he
-    hi = new_pos + he
+    he_y = HALF_Y
+    x0 = pos[..., 0] - HALF_XZ
+    x1 = pos[..., 0] + HALF_XZ
+    z0 = pos[..., 2] - HALF_XZ
+    z1 = pos[..., 2] + HALF_XZ
+    bottom = pos[..., 1] - he_y
+    top = pos[..., 1] + he_y
+    sy = G.span_for(cfg, (2 * he_y,))[0]
+    sxz = _span_xz(cfg)[0]
 
-    sx, sz = _span_xz(cfg)
-    sy = G.span_for(cfg, (2 * HALF_Y,))[0]
-    hit = G.aabb_hits_solid(cfg, vtype, lo, hi, (sx, sy, sz))
+    def axis_event(d, f0, f1, o0, o1, axis):
+        """Crossing time + entered-slab world coord for one axis.
+        d: displacement; f0/f1: this axis's AABB bounds; o0/o1: other
+        horizontal axis bounds; axis: 0 (x) or 2 (z)."""
+        movp = d > 0
+        face = jnp.where(movp, f1, f0)
+        sgn = jnp.where(movp, 1.0, -1.0)
+        icur = G.axis_index(cfg, axis, face - sgn * G.BOUNDARY_EPS)
+        boundary = cfg.origin[axis] + (
+            icur + movp.astype(jnp.int32)).astype(jnp.float32) * cfg.voxel_size
+        dist = boundary - face                      # same sign as d when crossing
+        d_safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        t = dist / d_safe
+        crossing = (jnp.abs(d) > 1e-9) & (t >= 0.0) & (t <= 1.0)
+        slab_coord = boundary + 2.0 * G.BOUNDARY_EPS * sgn  # inside entered cell
+        return t, crossing, slab_coord, boundary, sgn
 
-    # Clamp against the face-adjacent voxel boundary.
-    moving_pos = delta > 0
-    face = new_pos[..., axis] + jnp.where(moving_pos, he[axis], -he[axis])
-    iface = G.axis_index(cfg, axis, face + jnp.where(moving_pos, -G.BOUNDARY_EPS, G.BOUNDARY_EPS))
-    boundary = cfg.origin[axis] + jnp.where(
-        moving_pos, iface.astype(jnp.float32), iface.astype(jnp.float32) + 1.0
-    ) * cfg.voxel_size
-    clamped = jnp.where(
-        moving_pos, boundary - he[axis] - CLAMP_MARGIN, boundary + he[axis] + CLAMP_MARGIN
-    )
-    # Clamp only up to (never past) the attempted position.
-    clamped = jnp.where(
-        moving_pos,
-        jnp.minimum(clamped, new_pos[..., axis]),
-        jnp.maximum(clamped, new_pos[..., axis]),
-    )
-    out = jnp.where(hit, clamped, new_pos[..., axis])
-    return pos.at[..., axis].set(jnp.where(jnp.abs(delta) > 0, out, pos[..., axis]))
+    t_x, cross_x, slab_x, _, _ = axis_event(dx, x0, x1, z0, z1, 0)
+    t_z, cross_z, slab_z, _, _ = axis_event(dz, z0, z1, x0, x1, 2)
+
+    def slab_solid_x(t):
+        lo = jnp.stack([slab_x, bottom, z0 + dz * t], axis=-1)
+        hi = jnp.stack([slab_x, top, z1 + dz * t], axis=-1)
+        return G.aabb_hits_solid(cfg, vtype, lo, hi, (1, sy, sxz))
+
+    def slab_solid_z(t):
+        lo = jnp.stack([x0 + dx * t, bottom, slab_z], axis=-1)
+        hi = jnp.stack([x1 + dx * t, top, slab_z], axis=-1)
+        return G.aabb_hits_solid(cfg, vtype, lo, hi, (sxz, sy, 1))
+
+    hit_x = cross_x & slab_solid_x(t_x)
+    hit_z = cross_z & slab_solid_z(t_z)
+    tx = jnp.where(hit_x, t_x, jnp.inf)
+    tz = jnp.where(hit_z, t_z, jnp.inf)
+    hit = hit_x | hit_z
+    x_first = tx <= tz
+    t = jnp.where(hit, jnp.minimum(tx, tz), 1.0)
+    return t, hit, x_first
+
+
+def _slide_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
+                      dx: jax.Array, dz: jax.Array) -> jax.Array:
+    """stepForwardAndStrafe (kcc.cpp:337-393): bounded-iteration sweep-and-
+    slide with the Quake2 stop rule.
+
+    Mirrors the reference loop structure exactly for axis-aligned normals:
+    each iteration sweeps the CURRENT displacement from the ORIGINAL
+    position; on impact with an axis normal, the parallel component is
+    truncated at the hit fraction (updateTargetPositionBasedOnCollision,
+    kcc.cpp:313-329: target = current + perp*L + parallel*L*f) and the
+    perpendicular component kept in full; movement is cancelled outright when
+    the re-targeted displacement is ~zero (<= 1 cm, distance2 <= 0.0001) or
+    opposes the original velocity. Axis-aligned geometry converges in <= 3
+    sweeps (x wall, z wall, then clear), so 3 masked iterations replace the
+    reference's <= 10.
+    """
+    odx, odz = dx, dz
+    active = (jnp.abs(dx) + jnp.abs(dz)) > 0.0
+    for _ in range(3):
+        t, hit, x_first = _sweep_horizontal(cfg, vtype, pos, dx, dz)
+        hit = hit & active
+        # Truncate the hit axis at the impact fraction, backed off by the
+        # clamp margin (the ghost sweep's allowedCcdPenetration analogue).
+        clip = lambda d: jnp.sign(d) * jnp.maximum(
+            jnp.abs(d) * t - CLAMP_MARGIN, 0.0)
+        ndx = jnp.where(hit & x_first, clip(dx), dx)
+        ndz = jnp.where(hit & ~x_first, clip(dz), dz)
+        l2 = ndx * ndx + ndz * ndz
+        cancel = hit & ((l2 <= 1e-4) | (ndx * odx + ndz * odz <= 0.0))
+        dx = jnp.where(cancel, 0.0, ndx)
+        dz = jnp.where(cancel, 0.0, ndz)
+        active = active & hit & ~cancel
+    return pos.at[..., 0].add(dx).at[..., 2].add(dz)
 
 
 def player_step(
@@ -200,9 +263,9 @@ def player_step(
     vvel = jnp.where(hit_ceiling_rising, 0.0, vvel)
     voffset = jnp.where(hit_ceiling_rising, 0.0, voffset)
 
-    # --- stepForwardAndStrafe (kcc.cpp:337-393), per-axis slide ---
-    pos = _slide_axis(cfg, vtype, pos, 0, agents.hvel[..., 0] * dt)
-    pos = _slide_axis(cfg, vtype, pos, 2, agents.hvel[..., 2] * dt)
+    # --- stepForwardAndStrafe (kcc.cpp:337-393), iterative sweep-slide ---
+    pos = _slide_horizontal(cfg, vtype, pos,
+                            agents.hvel[..., 0] * dt, agents.hvel[..., 2] * dt)
 
     # --- stepDown (kcc.cpp:400-442) ---
     down_vel = jnp.where(vvel < 0, -vvel, 0.0)
@@ -242,12 +305,17 @@ def player_step(
     return agents.replace(pos=pos, vvel=vvel, hvel=hvel, jumping=jumping, on_ground=on_ground)
 
 
-def resolve_agent_collisions(agents: AgentState) -> AgentState:
+def resolve_agent_collisions(agents: AgentState, cfg: GridConfig = None,
+                             vtype: jax.Array = None) -> AgentState:
     """Pairwise capsule-capsule horizontal push-out.
 
     Replaces agent-vs-agent sweep collisions + penetration recovery
     (agents are in each other's collision masks, agent.cpp:63;
-    recoverFromPenetration kcc.cpp:156-221). Symmetric positional correction.
+    recoverFromPenetration kcc.cpp:156-221). Symmetric positional correction;
+    when the grid is provided, the push is applied through the same sweep as
+    walking, so an agent shoved toward a wall stops at the wall instead of
+    being pushed inside it (recoverFromPenetration re-checks the world,
+    kcc.cpp:156-221).
     """
     pos = agents.pos
     num_agents = pos.shape[0]
@@ -266,4 +334,7 @@ def resolve_agent_collisions(agents: AgentState) -> AgentState:
     degen = overlap & (d_xz < 1e-5)
     dir_xz = jnp.where(degen[..., None], jnp.array([1.0, 0.0, 0.0]), dir_xz)
     push = jnp.sum(push_mag[..., None] * dir_xz, axis=1)  # [A, 3]
-    return agents.replace(pos=pos + push)
+    if cfg is None or vtype is None:
+        return agents.replace(pos=pos + push)
+    new_pos = _slide_horizontal(cfg, vtype, pos, push[..., 0], push[..., 2])
+    return agents.replace(pos=new_pos)

@@ -606,11 +606,15 @@ def shade(rays: Rays, carry: HitCarry) -> jax.Array:
     return jnp.stack([r, g, b], axis=-1)
 
 
-def _hud_planes(cfg: EnvConfig, planes, time_fraction):
+def _hud_planes(cfg: EnvConfig, planes, time_fraction, last_reward=None):
     """Remaining-time bar, camera-space box at (0,-0.131,-0.2), half extents
-    (0.24*frac, 0.0015, 0.001) (scenario_default.hpp:140-145, 164-169).
-    Composited in 2D on separate channel planes; nothing except own
-    (inside-culled) geometry can sit closer than 0.2 m."""
+    (0.24*frac, 0.0015, 0.001) (scenario_default.hpp:140-145, 164-169), plus
+    (when useUIRewardIndicators > 0) the per-agent reward indicator quads:
+    GREEN at camera-space x=-0.23 for positive lastReward, RED at +0.23 for
+    negative, half extents (0.06, 0.04*|lastReward|, ~0)
+    (scenario_default.hpp:147-162, 171-186). Composited in 2D on separate
+    channel planes; nothing except own (inside-culled) geometry can sit
+    closer than 0.2 m."""
     w, h = cfg.obs_width, cfg.obs_height
     tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
     tan_v = tan_h * h / w
@@ -623,8 +627,28 @@ def _hud_planes(cfg: EnvConfig, planes, time_fraction):
     in_v = jnp.asarray(np.abs(v - bar_v) <= bar_half_v)[None, :, None]
     bar_mask = in_u & in_v  # [A?, h, w]
     bar_color = C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0])
-    return tuple(
+    planes = tuple(
         jnp.where(bar_mask, np.float32(bar_color[c]), planes[c]) for c in range(3)
+    )
+    if (last_reward is None
+            or float(cfg.params.get(C.P_USE_UI_REWARD_INDICATORS, 0.0)) <= 0):
+        return planes
+    lr = jnp.reshape(jnp.asarray(last_reward, jnp.float32), (-1, 1, 1))  # [A,1,1]
+    eps = np.float32(1.19209290e-07)  # FLT_EPSILON (scenario_default.hpp:172)
+    ind_half_u = 0.06 / (0.2 * tan_h)
+    ind_cu = 0.23 / (0.2 * tan_h)
+    half_v = 0.04 * jnp.abs(lr) / (0.2 * tan_v)           # [A,1,1]
+    uu = jnp.asarray(u)[None, None, :]
+    vv = jnp.asarray(v)[None, :, None]
+    in_v_ind = jnp.abs(vv) <= half_v
+    pos_mask = (lr > eps) & (jnp.abs(uu + ind_cu) <= ind_half_u) & in_v_ind
+    neg_mask = (lr < -eps) & (jnp.abs(uu - ind_cu) <= ind_half_u) & in_v_ind
+    green = C.PALETTE[C.COLOR_IDX["GREEN"]] * (0.3 + C.LIGHT_COLOR[0])
+    red = C.PALETTE[C.COLOR_IDX["RED"]] * (0.3 + C.LIGHT_COLOR[0])
+    return tuple(
+        jnp.where(pos_mask, np.float32(green[c]),
+                  jnp.where(neg_mask, np.float32(red[c]), planes[c]))
+        for c in range(3)
     )
 
 
@@ -636,7 +660,7 @@ def pack_planes(r, g, b) -> jax.Array:
 
 
 def _table_planes(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
-                  time_fraction: jax.Array):
+                  time_fraction: jax.Array, last_reward=None):
     """Rolled-loop renderer over a unified primitive table [M, 12] (see
     ops/raycast_pallas.py for the row encoding; row[7] carries packed RGB).
     Compile time is O(1) in M — this is the CPU/test backend matching the
@@ -711,22 +735,22 @@ def _table_planes(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
     init = HitCarry(t=zero + INF, nx=zero, ny=zero, nz=zero, r=zero, g=zero, b=zero)
     carry, _ = jax.lax.scan(body, init, prims)
     planes = shade_planes(rays, carry)
-    return _hud_planes(cfg, planes, time_fraction)
+    return _hud_planes(cfg, planes, time_fraction, last_reward)
 
 
 def render_table(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
-                 time_fraction: jax.Array) -> jax.Array:
+                 time_fraction: jax.Array, last_reward=None) -> jax.Array:
     """Table renderer emitting uint8 [A, H, W, 3] (viewer/legacy use)."""
-    r, g, b = _table_planes(cfg, agents, prims, time_fraction)
+    r, g, b = _table_planes(cfg, agents, prims, time_fraction, last_reward)
     col = jnp.stack([r, g, b], axis=-1)
     return (col * 255.0 + 0.5).astype(jnp.uint8)
 
 
 def render_table_packed(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
-                        time_fraction: jax.Array) -> jax.Array:
+                        time_fraction: jax.Array, last_reward=None) -> jax.Array:
     """render_table but emitting packed int32 RGB (matches the Pallas kernel)
     with no [..., 3] intermediate."""
-    r, g, b = _table_planes(cfg, agents, prims, time_fraction)
+    r, g, b = _table_planes(cfg, agents, prims, time_fraction, last_reward)
     return pack_planes(r, g, b)
 
 
@@ -739,6 +763,7 @@ def _render_planes(
     agents: AgentState,
     time_fraction: jax.Array,
     segments=None,
+    last_reward=None,
 ):
     """Trace-time-unrolled primitive loop over one env's scene. Returns
     (r, g, b) float planes [A, H, W] incl. shading and HUD. Fastest XLA form
@@ -763,7 +788,7 @@ def _render_planes(
     carry = _add_agents(carry, rays, agents, palette)
 
     planes = shade_planes(rays, carry)
-    return _hud_planes(cfg, planes, time_fraction)
+    return _hud_planes(cfg, planes, time_fraction, last_reward)
 
 
 def render(
@@ -775,10 +800,12 @@ def render(
     agents: AgentState,
     time_fraction: jax.Array,
     segments=None,
+    last_reward=None,
 ) -> jax.Array:
     """Render all agent views of one env -> uint8 [A, H, W, 3]."""
     r, g, b = _render_planes(cfg, box_lo, box_hi, box_color, props, agents,
-                             time_fraction, segments=segments)
+                             time_fraction, segments=segments,
+                             last_reward=last_reward)
     col = jnp.stack([r, g, b], axis=-1)
     return (col * 255.0 + 0.5).astype(jnp.uint8)
 
@@ -792,10 +819,12 @@ def render_packed(
     agents: AgentState,
     time_fraction: jax.Array,
     segments=None,
+    last_reward=None,
 ) -> jax.Array:
     """render() emitting packed int32 RGB [A, H, W] directly from the channel
     planes — no [..., 3] tensor ever materializes (HBM round trips on the
     full frame batch dominate render cost)."""
     r, g, b = _render_planes(cfg, box_lo, box_hi, box_color, props, agents,
-                             time_fraction, segments=segments)
+                             time_fraction, segments=segments,
+                             last_reward=last_reward)
     return pack_planes(r, g, b)

@@ -95,7 +95,7 @@ _EYE_OFFSET = (0.0, 0.0, -0.19)
 
 def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                    cluster_k=0, sorted_order=False, early_exit=False,
-                   per_tile=False, prim_flat=False):
+                   per_tile=False, prim_flat=False, ui_indicators=False):
     if cluster_k and sorted_order and early_exit:
         clusters_ref, order_ref, dist_ref, out_ref = rest
     elif cluster_k and sorted_order:
@@ -580,6 +580,25 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
     g = jnp.where(in_bar, np.float32(bar[1]), g)
     b = jnp.where(in_bar, np.float32(bar[2]), b)
 
+    if ui_indicators:
+        # Reward indicator quads (scenario_default.hpp:147-162, 171-186):
+        # GREEN at camera x=-0.23 while lastReward>eps, RED at +0.23 while
+        # <-eps; half extents (0.06, 0.04*|lastReward|). Same 2D compositing
+        # as ops/raycast._hud_planes so backends stay bit-identical.
+        lr = cam_ref[0, agent, 6]
+        feps = np.float32(1.19209290e-07)
+        ind_half_u = np.float32(0.06 / (0.2 * tan_h))
+        ind_cu = np.float32(0.23 / (0.2 * tan_h))
+        half_v = 0.04 * jnp.abs(lr) / np.float32(0.2 * tan_v)
+        in_v_ind = jnp.abs(vv) <= half_v
+        pos_m = (lr > feps) & (jnp.abs(uu + ind_cu) <= ind_half_u) & in_v_ind
+        neg_m = (lr < -feps) & (jnp.abs(uu - ind_cu) <= ind_half_u) & in_v_ind
+        green = C.PALETTE[C.COLOR_IDX["GREEN"]] * (0.3 + C.LIGHT_COLOR[0])
+        red = C.PALETTE[C.COLOR_IDX["RED"]] * (0.3 + C.LIGHT_COLOR[0])
+        r = jnp.where(pos_m, np.float32(green[0]), jnp.where(neg_m, np.float32(red[0]), r))
+        g = jnp.where(pos_m, np.float32(green[1]), jnp.where(neg_m, np.float32(red[1]), g))
+        b = jnp.where(pos_m, np.float32(green[2]), jnp.where(neg_m, np.float32(red[2]), b))
+
     to8 = lambda c: jnp.clip(c * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
     out_ref[0, 0] = (to8(r) << 16) | (to8(g) << 8) | to8(b)
 
@@ -588,7 +607,8 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                   clusters: jax.Array | None = None,
                   order: jax.Array | None = None,
                   dist: jax.Array | None = None,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False,
+                  ui_indicators: bool = False) -> jax.Array:
     """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W].
 
     With `clusters` [B, M // CLUSTER_K, 8] (from build_clusters, which also
@@ -678,7 +698,7 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
         _render_kernel, height=height, width=width, num_prims=num_prims,
         cluster_k=cluster_k, sorted_order=order is not None,
         early_exit=order is not None and dist is not None,
-        per_tile=per_tile, prim_flat=prim_flat,
+        per_tile=per_tile, prim_flat=prim_flat, ui_indicators=ui_indicators,
     )
     return pl.pallas_call(
         kernel,
@@ -962,15 +982,22 @@ def build_prim_table(
     return jnp.concatenate([rows_box, rows_prop, rows_body, rows_eyes], axis=0)
 
 
-def build_cams(cfg: EnvConfig, agents: AgentState, time_fraction) -> jax.Array:
-    """Camera table [A, 8] for one env."""
+def build_cams(cfg: EnvConfig, agents: AgentState, time_fraction,
+               last_reward=None) -> jax.Array:
+    """Camera table [A, 8] for one env: eye xyz, yaw, pitch, time_fraction,
+    lastReward (column 6, drives the UI reward indicators), pad."""
     num_agents = agents.pos.shape[0]
     eye = agents.pos + jnp.asarray(
         [0.0, C.AGENT_BODY_OFFSET_Y + C.AGENT_CAMERA_OFFSET_Y, 0.0], jnp.float32)
     tf = jnp.broadcast_to(jnp.asarray(time_fraction, jnp.float32), (num_agents,))
+    if last_reward is None:
+        lr = jnp.zeros((num_agents,), jnp.float32)
+    else:
+        lr = jnp.broadcast_to(
+            jnp.asarray(last_reward, jnp.float32), (num_agents,))
     return jnp.concatenate(
         [eye, agents.yaw[:, None], agents.pitch[:, None], tf[:, None],
-         jnp.zeros((num_agents, 2), jnp.float32)], axis=1)
+         lr[:, None], jnp.zeros((num_agents, 1), jnp.float32)], axis=1)
 
 
 def unpack_rgb(packed: jax.Array) -> jax.Array:

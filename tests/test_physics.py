@@ -132,3 +132,74 @@ def test_agents_push_apart():
     a = P.resolve_agent_collisions(a)
     d = float(jnp.linalg.norm(a.pos[0] - a.pos[1]))
     assert d > 0.3
+
+
+def test_no_single_step_wall_penetration():
+    """A straddling footprint must detect the far column: walking into a wall
+    never leaves the capsule face past the wall plane on ANY tick (the old
+    span bound let the agent tunnel ~0.5 m for a few ticks before snapping
+    back)."""
+    v = flat_world(wall_x=8.0)
+    a = agent_at(x=6.0, yaw=-np.pi / 2)
+    act = jnp.array([C.ACTION_FORWARD], jnp.int32)
+    for _ in range(60):
+        a = P.player_step(
+            CFG, v, P.apply_acceleration(P.apply_look(a, act, DT, 0.2), act, DT), DT)
+        assert float(a.pos[0, 0]) <= 8.0 - C.AGENT_CAPSULE_RADIUS + 1e-3
+
+
+def test_diagonal_glance_conserves_tangential_motion():
+    """Quake2 slide (kcc.cpp:337-393): hitting a wall at an angle truncates
+    only the normal component — the agent keeps sliding along the wall at the
+    tangential speed, not stopping dead."""
+    v = flat_world(wall_x=8.0)
+    # aim ~45 degrees into the wall: forward = (-sin, 0, -cos); yaw=-pi/4
+    # gives forward ~ (+0.707, 0, -0.707)
+    a = agent_at(x=6.0, z=8.0, yaw=-np.pi / 4)
+    z_positions = [float(a.pos[0, 2])]
+    act = jnp.array([C.ACTION_FORWARD], jnp.int32)
+    for _ in range(60):
+        a = P.player_step(
+            CFG, v, P.apply_acceleration(P.apply_look(a, act, DT, 0.2), act, DT), DT)
+        z_positions.append(float(a.pos[0, 2]))
+    # pinned against the wall in x...
+    assert float(a.pos[0, 0]) <= 8.0 - C.AGENT_CAPSULE_RADIUS + 1e-3
+    assert float(a.pos[0, 0]) > 7.4
+    # ...but still travelled in -z, and kept moving during the last steps
+    assert float(a.pos[0, 2]) < 4.0
+    assert z_positions[-1] < z_positions[-5] - 0.1
+
+
+def test_corner_approach_stops_both_axes():
+    """Driving diagonally into a corner: both axes clamp, the agent ends up
+    wedged at the corner and does not tunnel through either wall."""
+    v = np.asarray(flat_world(wall_x=8.0)).copy()
+    iz = int(np.floor(2.0 - CFG.origin[2]))   # z wall at z=2
+    v[:, 2:8, iz] = C.VOXEL_SOLID
+    v = jnp.asarray(v)
+    a = agent_at(x=6.0, z=4.0, yaw=-np.pi / 4)  # forward ~ (+.707, 0, -.707)
+    act = jnp.array([C.ACTION_FORWARD], jnp.int32)
+    for _ in range(80):
+        a = P.player_step(
+            CFG, v, P.apply_acceleration(P.apply_look(a, act, DT, 0.2), act, DT), DT)
+        assert float(a.pos[0, 0]) <= 8.0 - C.AGENT_CAPSULE_RADIUS + 1e-3
+        assert float(a.pos[0, 2]) >= 2.0 + 1.0 + C.AGENT_CAPSULE_RADIUS - 1e-3
+    # wedged: close to both wall faces
+    assert float(a.pos[0, 0]) > 8.0 - C.AGENT_CAPSULE_RADIUS - 0.05
+    assert float(a.pos[0, 2]) < 3.0 + C.AGENT_CAPSULE_RADIUS + 0.05
+
+
+def test_agents_pushed_at_wall_stay_outside_solids():
+    """Two overlapping agents next to a wall: the push-out goes through the
+    sweep, so neither ends up inside the wall (recoverFromPenetration
+    re-checks the world, kcc.cpp:156-221)."""
+    v = flat_world(wall_x=8.0)
+    wall_face = 8.0 - C.AGENT_CAPSULE_RADIUS
+    a = AgentState.create(2)
+    a = a.replace(pos=jnp.array(
+        [[wall_face - 0.02, 0.855, 4.0], [wall_face - 0.25, 0.855, 4.0]]))
+    a = P.resolve_agent_collisions(a, CFG, v)
+    # agent 0 was pushed toward the wall: clamped at the face
+    assert float(a.pos[0, 0]) <= 8.0 - C.AGENT_CAPSULE_RADIUS + 1e-3
+    # agent 1 pushed away freely
+    assert float(a.pos[1, 0]) < wall_face - 0.25

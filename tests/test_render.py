@@ -264,3 +264,66 @@ def test_pow_shininess_matches_float_pow():
     got = np.asarray(R.pow_shininess(x))
     want = np.asarray(x, np.float64) ** C.LIGHT_SHININESS
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-30)
+
+
+def test_ui_reward_indicators():
+    """useUIRewardIndicators draws the green/red reward quads
+    (scenario_default.hpp:147-162, 171-186): green strip left of center for
+    positive lastReward, red right of center for negative, absent at zero and
+    when the param is off — identical across all three backends."""
+    env = VectorEnv("Empty", num_envs=3, num_agents_per_env=1, seed=5,
+                    render=False,
+                    params={C.P_USE_UI_REWARD_INDICATORS: 1.0})
+    env.reset()
+    st = env.state.replace(
+        last_reward=jnp.asarray([[2.0], [-1.5], [0.0]], jnp.float32))
+    cfg = env.scenario.cfg
+
+    imgs = {}
+    for backend in ("unroll", "xla"):
+        imgs[backend] = np.asarray(
+            render_batch(env.scenario, st, backend=backend, fmt="packed"))
+    np.testing.assert_array_equal(imgs["unroll"], imgs["xla"])
+
+    # pallas kernel path (interpret mode on CPU)
+    remaining = jnp.maximum(
+        0.0, (st.episode_len_sec - st.episode_sec) / st.episode_len_sec)
+    cams = jax.vmap(lambda s, tf: RP.build_cams(cfg, s.agents, tf,
+                                                s.last_reward))(st, remaining)
+    prims = jax.vmap(
+        lambda s: RP.build_prim_table(cfg, s.box_lo, s.box_hi, s.box_color,
+                                      s.props, s.agents,
+                                      include_agent_rows=False))(st)
+    pk = np.asarray(RP.render_packed(cams, prims, cfg.obs_height,
+                                     cfg.obs_width, interpret=True,
+                                     ui_indicators=True))
+    np.testing.assert_array_equal(pk, imgs["unroll"])
+
+    def count_color(img, name):
+        col = np.asarray(C.PALETTE[C.COLOR_IDX[name]]) * (0.3 + C.LIGHT_COLOR[0])
+        target = (np.clip(col, 0, 1) * 255 + 0.5).astype(np.int64)
+        packed = (target[0] << 16) | (target[1] << 8) | target[2]
+        return int((img == packed).sum())
+
+    base = np.asarray(render_batch(
+        env.scenario, env.state, backend="unroll", fmt="packed"))
+    assert count_color(imgs["unroll"][0], "GREEN") > 0       # positive reward
+    assert count_color(imgs["unroll"][0], "RED") == 0
+    assert count_color(imgs["unroll"][1], "RED") > 0         # negative reward
+    assert count_color(imgs["unroll"][1], "GREEN") == 0
+    assert count_color(imgs["unroll"][2], "GREEN") == 0      # zero reward
+    assert count_color(imgs["unroll"][2], "RED") == 0
+    assert count_color(base[0], "GREEN") == 0                # zero at reset
+    # bigger |reward| -> taller quad
+    assert count_color(imgs["unroll"][0], "GREEN") > count_color(
+        imgs["unroll"][1], "RED")
+
+    # param off -> no indicators even with nonzero lastReward
+    env_off = VectorEnv("Empty", num_envs=1, num_agents_per_env=1, seed=5,
+                        render=False)
+    env_off.reset()
+    st_off = env_off.state.replace(
+        last_reward=jnp.asarray([[2.0]], jnp.float32))
+    img_off = np.asarray(render_batch(
+        env_off.scenario, st_off, backend="unroll", fmt="packed"))
+    assert count_color(img_off[0], "GREEN") == 0
