@@ -196,14 +196,18 @@ class HostScene:
         return idx
 
     # -- agents -------------------------------------------------------------
-    def spawn_agents_at(self, positions, rng: np.random.Generator) -> None:
+    def spawn_agents_at(self, positions, rng: np.random.Generator,
+                        yaws=None) -> None:
         """Standard spawn (scenario_default.hpp:80-97): +(.5,0,.5) cell centering,
-        +agentHeight vertical offset (agent.cpp:45), random yaw."""
+        +agentHeight vertical offset (agent.cpp:45), random yaw. Pass explicit
+        `yaws` (reference-stream mode: frand(rng) * 2pi per agent in spawn
+        order, scenario_default.hpp:86) to bypass the numpy draw."""
         positions = np.asarray(positions, np.float64)
         for i in range(self.cfg.num_agents):
             p = positions[i] + np.array([0.5, 0.0, 0.5])
             self.agent_spawn[i] = p + np.array([0.0, C.AGENT_HEIGHT, 0.0])
-            self.agent_yaw[i] = rng.random() * 2.0 * np.pi
+            self.agent_yaw[i] = (yaws[i] if yaws is not None
+                                 else rng.random() * 2.0 * np.pi)
 
     # -- finalize -----------------------------------------------------------
     def finish(self, max_boxes: int, scen: Any = ()) -> SceneData:
@@ -382,6 +386,19 @@ class Scenario:
     # -- generation (host) --------------------------------------------------
     def generate(self, rng: np.random.Generator) -> SceneData:
         raise NotImplementedError
+
+    # Scenarios overriding generate_ref replicate the reference engine's
+    # exact per-episode draw ORDER from its mt19937 stream (see
+    # utils/refrng.py): layout geometry is then bit-identical to the C++
+    # engine's under the same seed chain (verified against libstdc++ golden
+    # traces, tests/test_refrng_scenarios.py).
+    supports_ref_stream: bool = False
+
+    def generate_ref(self, rng) -> SceneData:
+        """Reference-stream generation (rng: utils.refrng.Rng). Only for
+        scenarios with supports_ref_stream = True."""
+        raise NotImplementedError(
+            f"{self.name}: reference-stream generation not implemented")
 
     # -- device-side scenario logic ----------------------------------------
     def scen_step(

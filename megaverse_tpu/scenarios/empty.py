@@ -27,13 +27,27 @@ class EmptyScenario(Scenario):
         # Grid covers it plus jumping headroom.
         return GridConfig(dims=(24, 8, 24), voxel_size=1.0, origin=(-5.0, -2.0, -5.0))
 
-    def generate(self, rng: np.random.Generator) -> SceneData:
+    supports_ref_stream = True
+
+    def _build(self, rng, yaws=None) -> SceneData:
         scene = HostScene(self.cfg)
         scene.add_static_box(scale=(10.0, 1.0, 10.0), translation=(5.0, 0.0, 5.0),
                              color=C.COLOR_IDX["BLUE"])
         positions = np.tile(np.array([1.0, 1.0, 1.0]), (self.num_agents, 1))
-        scene.spawn_agents_at(positions, rng)
+        scene.spawn_agents_at(positions, rng, yaws=yaws)
         return scene.finish(self.max_boxes)
+
+    def generate(self, rng: np.random.Generator) -> SceneData:
+        return self._build(rng)
+
+    def generate_ref(self, rng) -> SceneData:
+        # Reference draw order (Env::reset, env.cpp:57-76): the only draws in
+        # an Empty episode are the per-agent spawn yaws
+        # (DefaultScenario::spawnAgents, scenario_default.hpp:86).
+        from megaverse_tpu.utils.refrng import ref_spawn_yaw
+
+        yaws = [ref_spawn_yaw(rng) for _ in range(self.num_agents)]
+        return self._build(None, yaws=yaws)
 
 
 register_scenario("Empty", EmptyScenario)

@@ -66,15 +66,50 @@ class TowerBuildingScenario(Scenario):
 
     # ------------------------------------------------------------- generate
     def generate(self, rng: np.random.Generator) -> SceneData:
-        scene = HostScene(self.cfg)
         rr = lambda lo, hi: int(rng.integers(lo, hi))
-
         layout_color = int(C.LAYOUT_COLORS[rr(0, len(C.LAYOUT_COLORS))])
         while layout_color == C.COLOR_IDX["BUILDING_ZONE"]:
             layout_color = int(C.LAYOUT_COLORS[rr(0, len(C.LAYOUT_COLORS))])
         wall_color = int(C.LAYOUT_COLORS[rr(0, len(C.LAYOUT_COLORS))])
         draw_walls = bool(rng.integers(0, 2))
+        dims = self._draw_platform(rr)
+        cand = self._candidates(dims)
+        cand = cand[rng.permutation(len(cand))]
+        max_rand = min(len(cand) - self.num_agents, 25)
+        n_objects = rr(0, max(1, max_rand)) if max_rand >= 0 else 0
+        return self._build(dims, layout_color, wall_color, draw_walls, cand,
+                           n_objects, rng=rng)
 
+    supports_ref_stream = True
+
+    def generate_ref(self, rng) -> SceneData:
+        """Reference draw order (TowerBuildingScenario::reset,
+        scenario_tower_building.cpp:129-153 + TowerBuildingPlatform::init,
+        cpp:19-103 + DefaultScenario::spawnAgents): layout color (rejecting
+        BUILDING_ZONE), platform dims/zones, candidate shuffle, object count,
+        THEN wall color + randomBool, then per-agent spawn yaws."""
+        from megaverse_tpu.utils.refrng import ref_spawn_yaw
+
+        lc = lambda: int(C.LAYOUT_COLORS[rng.rand_range(0, len(C.LAYOUT_COLORS))])
+        layout_color = lc()
+        while layout_color == C.COLOR_IDX["BUILDING_ZONE"]:
+            layout_color = lc()
+        dims = self._draw_platform(rng.rand_range)
+        cand = self._candidates(dims)
+        cand_list = [tuple(c) for c in cand]
+        rng.shuffle(cand_list)
+        cand = np.asarray(cand_list, np.int64).reshape(-1, 3)
+        max_rand = min(len(cand) - self.num_agents, 25)
+        n_objects = rng.rand_range(0, max(1, max_rand)) if max_rand >= 0 else 0
+        wall_color = lc()
+        draw_walls = rng.random_bool()
+        yaws = [ref_spawn_yaw(rng) for _ in range(self.num_agents)]
+        return self._build(dims, layout_color, wall_color, draw_walls, cand,
+                           n_objects, yaws=yaws)
+
+    @staticmethod
+    def _draw_platform(rr):
+        """TowerBuildingPlatform::init dims (cpp:19-55), draw order exact."""
         height = rr(5, 7)
         length = rr(12, 30)
         width = rr(12, 25)
@@ -88,6 +123,22 @@ class TowerBuildingScenario(Scenario):
         bz_z = rr(1, width - bz_w - 1)
         mat_x = rr(1, length - mat_l - 1)
         mat_z = rr(1, width - mat_w - 1)
+        return dict(height=height, length=length, width=width,
+                    bz_l=bz_l, bz_w=bz_w, mat_l=mat_l, mat_w=mat_w,
+                    bz_x=bz_x, bz_z=bz_z, mat_x=mat_x, mat_z=mat_z)
+
+    @staticmethod
+    def _candidates(d):
+        """Interior spawn candidates (x, 2, z), x-major (cpp:40-43)."""
+        return np.array([(x, 2, z) for x in range(1, d["length"] - 1)
+                         for z in range(1, d["width"] - 1)], np.int64)
+
+    def _build(self, d, layout_color, wall_color, draw_walls, cand,
+               n_objects, rng=None, yaws=None) -> SceneData:
+        scene = HostScene(self.cfg)
+        height, length, width = d["height"], d["length"], d["width"]
+        bz_l, bz_w, bz_x, bz_z = d["bz_l"], d["bz_w"], d["bz_x"], d["bz_z"]
+        mat_l, mat_w, mat_x, mat_z = d["mat_l"], d["mat_w"], d["mat_x"], d["mat_z"]
 
         # floor + 4 walls (Platform::addFloor/addWalls, platforms.hpp:167-190)
         scene.vtype[0:length, 0, 0:width] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
@@ -105,18 +156,13 @@ class TowerBuildingScenario(Scenario):
         scene.add_terrain_quad(bz_x, bz_z, bz_x + bz_l, bz_z + bz_w, 1.0,
                                C.TERRAIN_BUILDING_ZONE)
 
-        # spawn candidates (x, 2, z) interior, shuffled
-        cand = np.array([(x, 2, z) for x in range(1, length - 1)
-                         for z in range(1, width - 1)], np.int64)
-        cand = cand[rng.permutation(len(cand))]
+        # spawn candidates arrive pre-shuffled (draw order differs by mode)
         a = self.num_agents
         agent_cells = cand[:min(a, len(cand))]
         while len(agent_cells) < a:
             agent_cells = np.concatenate([agent_cells, agent_cells[:1]])
         spawn_idx = a
 
-        max_rand = min(len(cand) - a, 25)
-        n_objects = rr(0, max(1, max_rand)) if max_rand >= 0 else 0
         obj_cells = cand[spawn_idx:spawn_idx + n_objects].copy()
         # inside materials rect stay at y=2, otherwise drop to floor (y=1)
         in_mat = ((obj_cells[:, 0] >= mat_x) & (obj_cells[:, 0] < mat_x + mat_l)
@@ -127,7 +173,7 @@ class TowerBuildingScenario(Scenario):
                          for z in range(mat_z, mat_z + mat_w)], np.int64)
         all_objs = np.concatenate([obj_cells, bulk]) if len(obj_cells) else bulk
 
-        scene.spawn_agents_at(agent_cells.astype(np.float64), rng)
+        scene.spawn_agents_at(agent_cells.astype(np.float64), rng, yaws=yaws)
         init_zone_reward = 0.0
         for cell in all_objs:
             scene.add_movable_box(cell)

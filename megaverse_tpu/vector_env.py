@@ -53,6 +53,7 @@ class VectorEnv:
         render: bool = True,
         obs_format: str = "auto",
         device=None,
+        rng_mode: str = "numpy",
     ):
         self.scenario: Scenario = make_scenario(
             scenario_name, num_agents=num_agents_per_env, params=params
@@ -73,7 +74,19 @@ class VectorEnv:
         # of the reference's one-Sample-Factory-worker-per-GPU scale-out.
         self.device = device
 
-        self._gens: List[np.random.Generator] = []
+        # rng_mode="reference": layouts draw from bit-exact libstdc++
+        # mt19937 streams through the reference's master->env->episode seed
+        # chain (utils/refrng.py; megaverse.cpp:60-69, env.cpp:61-63), so
+        # generated geometry matches the C++ engine's under the same seed.
+        # Only scenarios with supports_ref_stream implement it.
+        if rng_mode not in ("numpy", "reference"):
+            raise ValueError(f"unknown rng_mode {rng_mode!r}")
+        if rng_mode == "reference" and not self.scenario.supports_ref_stream:
+            raise ValueError(
+                f"{self.scenario.name}: reference-stream generation not "
+                "implemented (supports_ref_stream=False); see PARITY.md")
+        self.rng_mode = rng_mode
+        self._gens: List = []
         self._master_seed = seed
         self.seed(seed)
 
@@ -366,8 +379,14 @@ class VectorEnv:
         # Drain the prefetch worker BEFORE swapping generators: a pending task
         # resolves self._gens[i] at run time and must not touch the new streams.
         self._reset_prefetch()
-        ss = np.random.SeedSequence(seed)
-        self._gens = [np.random.Generator(np.random.PCG64(s)) for s in ss.spawn(self.num_envs)]
+        if getattr(self, "rng_mode", "numpy") == "reference":
+            from megaverse_tpu.utils.refrng import Rng, fan_out_env_seeds
+
+            self._gens = [Rng(s) for s in fan_out_env_seeds(seed, self.num_envs)]
+        else:
+            ss = np.random.SeedSequence(seed)
+            self._gens = [np.random.Generator(np.random.PCG64(s))
+                          for s in ss.spawn(self.num_envs)]
 
     # --------------------------------------------------------------- prefetch
     # Layout generation is host-side numpy; at high throughput the synchronous
@@ -399,6 +418,12 @@ class VectorEnv:
         self._prefetch_q = [deque() for _ in range(self.num_envs)]
 
     def _gen_scene(self, i: int):
+        if self.rng_mode == "reference":
+            from megaverse_tpu.utils.refrng import episode_reseed
+
+            # per-episode reseed (env.cpp:61-63) then reference-order draws
+            episode_reseed(self._gens[i])
+            return self.scenario.generate_ref(self._gens[i])
         return self.scenario.generate(self._gens[i])
 
     def _pop_scene(self, i: int):

@@ -1,0 +1,97 @@
+"""Reference-stream layout parity for scenarios with generate_ref.
+
+Golden values produced by tests/golden/tower_golden.cpp — a draw-for-draw
+libstdc++ replica of the reference TowerBuilding episode sequence
+(Env::reset reseed -> TowerBuildingScenario::reset -> platform init ->
+candidate shuffle -> wall color/bool -> spawnAgents yaws)."""
+
+import numpy as np
+
+from megaverse_tpu import constants as C
+from megaverse_tpu.scenarios import make_scenario
+from megaverse_tpu.utils.refrng import Rng, episode_reseed
+
+EP_SEED = 81935403
+DIMS = [5, 15, 24, 3, 6, 2, 3, 9, 9, 10, 5]
+CAND_HEAD = [(3, 2, 7), (10, 2, 4), (9, 2, 18), (11, 2, 21), (8, 2, 18),
+             (6, 2, 3), (6, 2, 2), (12, 2, 22)]
+N_OBJECTS = 1
+WALL_IDX = 11
+DRAW_WALLS = 1
+YAWS = [4.23069382, 1.43952417]
+
+
+def test_towerbuilding_reference_stream_layout():
+    sc = make_scenario("TowerBuilding", num_agents=2)
+    rng = Rng(7)
+    assert episode_reseed(rng) == EP_SEED
+    scene = sc.generate_ref(rng)
+
+    h, length, width, bz_l, bz_w, mat_l, mat_w, bz_x, bz_z, mat_x, mat_z = DIMS
+    np.testing.assert_array_equal(
+        np.asarray(scene.scen.zone), [bz_x, bz_x + bz_l, bz_z, bz_z + bz_w])
+    # floor occupies exactly length x width at y=0
+    vt = np.asarray(scene.vtype)
+    floor = (vt[:, 0, :] & C.VOXEL_SOLID) != 0
+    assert floor[:length, :width].all()
+    assert not floor[length:, :].any() and not floor[:, width:].any()
+    # walls drawn (DRAW_WALLS=1): perimeter voxels at y=1..height-1 solid+opaque
+    assert ((vt[0, 1:h, :width] & C.VOXEL_OPAQUE) != 0).all()
+    # agents spawn on the first two shuffled candidates (+cell centering,
+    # +agent height)
+    exp0 = np.asarray(CAND_HEAD[0], np.float64) + [0.5, C.AGENT_HEIGHT, 0.5]
+    exp1 = np.asarray(CAND_HEAD[1], np.float64) + [0.5, C.AGENT_HEIGHT, 0.5]
+    np.testing.assert_allclose(scene.agent_spawn[0], exp0, atol=1e-6)
+    np.testing.assert_allclose(scene.agent_spawn[1], exp1, atol=1e-6)
+    # spawn yaws bit-exact in f32
+    np.testing.assert_array_equal(
+        np.asarray(scene.agent_yaw, np.float32),
+        np.asarray(YAWS, np.float32))
+    # object count: N_OBJECTS random + materials rectangle bulk
+    n_props = int((np.asarray(scene.props.type) != C.PROP_NONE).sum())
+    assert n_props == N_OBJECTS + mat_l * mat_w
+    # the random object is the next shuffled candidate after the agent slots
+    ox, oy, oz = CAND_HEAD[2]
+    in_mat = (mat_x <= ox < mat_x + mat_l) and (mat_z <= oz < mat_z + mat_w)
+    if not in_mat:
+        oy = 1
+    pp = np.asarray(scene.props.pos)
+    assert any(np.allclose(p, (np.asarray([ox, oy, oz]) + 0.5)) for p in pp[:n_props])
+
+
+def test_empty_reference_stream_yaws():
+    sc = make_scenario("Empty", num_agents=2)
+    rng = Rng(7)
+    assert episode_reseed(rng) == EP_SEED
+    scene = sc.generate_ref(rng)
+    # same episode seed: first two frand draws match the tower trace's
+    # post-layout position only if the layout drew nothing -- Empty draws
+    # ONLY the yaws, so just pin determinism + range here plus a second
+    # instance equality.
+    sc2 = make_scenario("Empty", num_agents=2)
+    rng2 = Rng(7)
+    episode_reseed(rng2)
+    scene2 = sc2.generate_ref(rng2)
+    np.testing.assert_array_equal(scene.agent_yaw, scene2.agent_yaw)
+    assert ((np.asarray(scene.agent_yaw) >= 0)
+            & (np.asarray(scene.agent_yaw) < 2 * np.pi)).all()
+
+
+def test_vector_env_reference_mode():
+    """rng_mode='reference' drives layouts from the reference seed chain:
+    two instances with the same master seed agree bit-exactly; auto-reset
+    consumes the per-episode reseed chain deterministically."""
+    import jax
+    from megaverse_tpu import VectorEnv
+
+    kw = dict(num_envs=2, num_agents_per_env=2, seed=42,
+              rng_mode="reference", render=False,
+              params={C.P_EPISODE_LENGTH_SEC: 1.0})
+    e1, e2 = VectorEnv("Empty", **kw), VectorEnv("Empty", **kw)
+    e1.reset(), e2.reset()
+    act = np.zeros((2, 2), np.int32)
+    for _ in range(20):  # crosses an auto-reset (15-step episodes)
+        e1.step(act), e2.step(act)
+    np.testing.assert_array_equal(np.asarray(e1.state.agents.yaw),
+                                  np.asarray(e2.state.agents.yaw))
+    e1.close(), e2.close()
