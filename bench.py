@@ -61,6 +61,10 @@ def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
     """Returns (obs_per_sec, timed_obs, timed_seconds)."""
     import jax
 
+    from megaverse_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     from megaverse_tpu.vector_env import VectorEnv
     import megaverse_tpu.constants as C
 

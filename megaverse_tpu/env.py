@@ -305,7 +305,7 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
             lambda s, tf: RP.build_cams(cfg, s.agents, tf, s.last_reward)
         )(states, remaining)
         prims = make_prims(states)
-        clusters = order = dist = None
+        clusters = order = dist = sclusters = None
         if not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
             prims, clusters = jax.vmap(RP.build_clusters)(prims)
             if not os.environ.get("MEGAVERSE_NO_CLUSTER_SORT"):
@@ -316,15 +316,25 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
                     order, dist = RP.sort_clusters(cams, clusters)
                     if os.environ.get("MEGAVERSE_NO_EARLY_EXIT"):
                         dist = None
-                else:
+                elif (os.environ.get("MEGAVERSE_NO_SUPERCLUSTERS")
+                      or clusters.shape[1] < 2 * RP.SUPER_K):
                     # per-tile frustum-culled front-to-back cluster lists:
                     # the kernel loop only ever visits clusters that can
                     # affect its 8x128 pixel tile
                     order, dist = RP.frustum_cull(
                         cams, clusters, cfg.obs_height, cfg.obs_width)
+                else:
+                    # two-level: per-tile lists over SUPERclusters — the
+                    # sorted lists (and the superlinear XLA sort feeding
+                    # them) shrink by SUPER_K; the kernel prunes
+                    # SUPER_K*CLUSTER_K rows per vector test
+                    clusters, sclusters = jax.vmap(RP.build_superclusters)(
+                        clusters)
+                    order, dist = RP.frustum_cull(
+                        cams, sclusters, cfg.obs_height, cfg.obs_width)
         packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width,
                                   clusters=clusters, order=order, dist=dist,
-                                  ui_indicators=ui_ind)
+                                  ui_indicators=ui_ind, sclusters=sclusters)
     elif backend == "unroll":
         # Trace-time-unrolled XLA renderer: fastest for small scenes; compile
         # time grows with primitive count (use for benchmark scenarios).

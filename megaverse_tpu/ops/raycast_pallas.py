@@ -68,6 +68,11 @@ TILE_W = 128
 # free, so finer clusters win — every surviving cluster costs K row
 # intersections and tighter AABBs survive less often.
 CLUSTER_K = 4
+# Clusters per SUPERcluster (second culling level): the per-tile sorted lists
+# (and the XLA sort building them — strongly superlinear in list length on
+# TPU) shrink by this factor; the kernel prunes SUPER_K*CLUSTER_K rows with
+# one vector slab test.
+SUPER_K = 4
 # Conservative bound radius of the eye box: |offset| + |half extents|
 # (0.19 + 0.342) — valid for every yaw/pitch.
 _EYE_BOUND = 0.54
@@ -95,8 +100,12 @@ _EYE_OFFSET = (0.0, 0.0, -0.19)
 
 def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                    cluster_k=0, sorted_order=False, early_exit=False,
-                   per_tile=False, prim_flat=False, ui_indicators=False):
-    if cluster_k and sorted_order and early_exit:
+                   per_tile=False, prim_flat=False, ui_indicators=False,
+                   super_k=0, num_clusters=0):
+    if super_k:
+        # supercluster mode implies sorted per-tile lists + early exit
+        clusters_ref, sclusters_ref, order_ref, dist_ref, out_ref = rest
+    elif cluster_k and sorted_order and early_exit:
         clusters_ref, order_ref, dist_ref, out_ref = rest
     elif cluster_k and sorted_order:
         clusters_ref, order_ref, out_ref = rest
@@ -123,6 +132,8 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         pload = lambda i, c: prims_ref[0, i, c]
     if cluster_k:
         cload = lambda g, c: clusters_ref[0, 0, g * 8 + c]
+    if super_k:
+        scload = lambda g, c: sclusters_ref[0, 0, g * 8 + c]
 
     tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2)).astype(np.float32)
     tan_v = np.float32(tan_h * height / width)
@@ -426,10 +437,13 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         # (order_ref from sort_clusters), so near geometry tightens the depth
         # planes before far clusters are tested — most then skip outright.
         def cluster_body(g, carry, maxt_in=None):
-            bt = carry[0]
-            if sorted_order:
+            if sorted_order and not super_k:
                 g = (order_ref[0, 0, tile_row, g] if per_tile
                      else order_ref[0, agent, g])
+            return cluster_body_at(g, carry, maxt_in)
+
+        def cluster_body_at(g, carry, maxt_in=None):
+            bt = carry[0]
             lo0 = cload(g, 0)
             lo1 = cload(g, 1)
             lo2 = cload(g, 2)
@@ -490,7 +504,72 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             ], carry)
 
         num_groups = num_prims // cluster_k
-        if sorted_order and early_exit:
+        if super_k:
+            # Two-level culling: the per-tile front-to-back list is over
+            # SUPERclusters (super_k consecutive clusters, AABB from
+            # build_superclusters). One vector slab test per visited
+            # supercluster prunes super_k*cluster_k rows at once; members
+            # then run the normal per-cluster test + rows. List length (and
+            # the XLA sort feeding it) shrinks by super_k — the sort's cost
+            # is strongly superlinear in list length on TPU, so this is
+            # where the prep time goes. Early exit uses the supercluster
+            # distance bounds (lower bounds for every member hit).
+            num_super = num_clusters // super_k
+
+            def sc_body(state):
+                gpos, maxt = state[0], state[1]
+                carry = state[2:]
+                bt = carry[0]
+                gsc = (order_ref[0, 0, tile_row, gpos] if per_tile
+                       else order_ref[0, agent, gpos])
+                lo0 = scload(gsc, 0)
+                lo1 = scload(gsc, 1)
+                lo2 = scload(gsc, 2)
+                hi0 = scload(gsc, 3)
+                hi1 = scload(gsc, 4)
+                hi2 = scload(gsc, 5)
+                t1x = lo0 * ix - exix
+                t2x = hi0 * ix - exix
+                t1y = lo1 * iy - eyiy
+                t2y = hi1 * iy - eyiy
+                t1z = lo2 * iz - eziz
+                t2z = hi2 * iz - eziz
+                tmin = jnp.maximum(jnp.minimum(t1x, t2x),
+                                   jnp.maximum(jnp.minimum(t1y, t2y),
+                                               jnp.minimum(t1z, t2z)))
+                tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                                   jnp.minimum(jnp.maximum(t1y, t2y),
+                                               jnp.maximum(t1z, t2z)))
+                # same slack reasoning as the member-cluster test; the SC
+                # AABB contains every member AABB, so this is conservative
+                reachable = (tmax >= tmin) & (tmax > 0.0) & (tmin < bt + 0.01)
+
+                def run_members(c):
+                    st = (maxt, *c)
+                    for j in range(super_k):
+                        st = cluster_body_at(gsc * super_k + j, st[1:],
+                                             maxt_in=st[0])
+                    return st
+
+                st = jax.lax.cond(jnp.any(reachable), run_members,
+                                  lambda c: (maxt, *c), carry)
+                return (gpos + 1, *st)
+
+            def sc_cond(state):
+                gpos, maxt = state[0], state[1]
+                gi = jnp.minimum(gpos, num_super - 1)
+                d = (dist_ref[0, 0, tile_row, gi] if per_tile
+                     else dist_ref[0, agent, gi])
+                return (gpos < num_super) & (maxt >= d)
+
+            init_e = (jnp.int32(0),
+                      jnp.float32(C.CAMERA_FAR),
+                      zero + np.float32(C.CAMERA_FAR),
+                      jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
+                      *init[1:])
+            _, _, t, _, nx, ny, nz, cpk = jax.lax.while_loop(
+                sc_cond, sc_body, init_e)
+        elif sorted_order and early_exit:
             # Early ray termination. Clusters arrive front-to-back and
             # dist_ref[agent, g] is a lower bound on any hit distance from
             # cluster order[g] (ascending). Once every ray in the tile has a
@@ -608,7 +687,8 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                   order: jax.Array | None = None,
                   dist: jax.Array | None = None,
                   interpret: bool = False,
-                  ui_indicators: bool = False) -> jax.Array:
+                  ui_indicators: bool = False,
+                  sclusters: jax.Array | None = None) -> jax.Array:
     """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W].
 
     With `clusters` [B, M // CLUSTER_K, 8] (from build_clusters, which also
@@ -658,17 +738,29 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
         in_specs.append(
             pl.BlockSpec((1, num_prims, row_w), lambda b, a, h: (b, 0, 0),
                          memory_space=pltpu.VMEM))
+    super_k = 0
     if clusters is not None:
         cluster_k = CLUSTER_K
         assert num_prims % cluster_k == 0, (num_prims, cluster_k)
-        assert clusters.shape[1] == num_prims // cluster_k
+        assert clusters.shape[1] >= num_prims // cluster_k
         inputs.append(clusters.reshape(bsz, 1, clusters.shape[1] * 8))
         in_specs.append(
             pl.BlockSpec((1, 1, clusters.shape[1] * 8),
                          lambda b, a, h: (b, 0, 0),
                          memory_space=pltpu.SMEM))
+        if sclusters is not None:
+            # supercluster mode: order/dist index the SC table
+            assert order is not None and dist is not None and per_tile
+            super_k = SUPER_K
+            assert clusters.shape[1] == sclusters.shape[1] * super_k
+            inputs.append(sclusters.reshape(bsz, 1, sclusters.shape[1] * 8))
+            in_specs.append(
+                pl.BlockSpec((1, 1, sclusters.shape[1] * 8),
+                             lambda b, a, h: (b, 0, 0),
+                             memory_space=pltpu.SMEM))
         if order is not None:
-            g = clusters.shape[1]
+            g = (sclusters.shape[1] if sclusters is not None
+                 else clusters.shape[1])
             if per_tile:
                 t = height // TILE_H
                 assert order.shape == (bsz, num_agents, t, g)
@@ -699,6 +791,8 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
         cluster_k=cluster_k, sorted_order=order is not None,
         early_exit=order is not None and dist is not None,
         per_tile=per_tile, prim_flat=prim_flat, ui_indicators=ui_indicators,
+        super_k=super_k,
+        num_clusters=clusters.shape[1] if clusters is not None else 0,
     )
     return pl.pallas_call(
         kernel,
@@ -767,6 +861,34 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
     return prims, clusters
 
 
+def build_superclusters(clusters: jax.Array, k: int = SUPER_K):
+    """Pad a cluster table [G, 8] to a multiple of k and build the
+    supercluster AABB table [G'/k, 8] (lo xyz, hi xyz, 2 pad). Dead clusters
+    (point box at +INF, from build_clusters) must not inflate a live
+    supercluster; all-dead superclusters collapse to the same +INF point box
+    so frustum_cull sorts them last. Returns (clusters_padded, sclusters)."""
+    g = clusters.shape[0]
+    pad = (-g) % k
+    if pad:
+        dead = jnp.full((pad, clusters.shape[1]), INF, clusters.dtype)
+        dead = dead.at[:, 6:].set(0.0)
+        clusters = jnp.concatenate([clusters, dead])
+    lo = clusters[:, 0:3]
+    hi = clusters[:, 3:6]
+    dead = lo[:, :1] > 1e29
+    lo = jnp.where(dead, INF, lo)
+    hi = jnp.where(dead, -INF, hi)
+    n = clusters.shape[0] // k
+    slo = lo.reshape(n, k, 3).min(axis=1)
+    shi = hi.reshape(n, k, 3).max(axis=1)
+    empty = shi[:, :1] < slo[:, :1]
+    slo = jnp.where(empty, INF, slo)
+    shi = jnp.where(empty, INF, shi)
+    sclusters = jnp.concatenate([slo, shi, jnp.zeros((n, 2), jnp.float32)],
+                                axis=1)
+    return clusters, sclusters
+
+
 def sort_clusters(cams: jax.Array, clusters: jax.Array):
     """Front-to-back cluster visit order per agent: argsort of the squared
     distance from the camera eye to the closest point of each cluster AABB.
@@ -783,9 +905,13 @@ def sort_clusters(cams: jax.Array, clusters: jax.Array):
     hi = clusters[:, None, :, 3:6]
     d = jnp.maximum(jnp.maximum(lo - eye, eye - hi), 0.0)
     key = jnp.sum(d * d, axis=-1)                   # [B, A, G]
-    order = jnp.argsort(key, axis=-1).astype(jnp.int32)
-    dist = jnp.sqrt(jnp.take_along_axis(key, order, axis=-1))
-    return order, dist
+    idx = jnp.broadcast_to(
+        jnp.arange(key.shape[-1], dtype=jnp.int32), key.shape)
+    # one multi-operand sort: argsort + take_along_axis lowers to a sort
+    # PLUS a scalarized gather on TPU (the gather alone costs as much as
+    # the sort — measured)
+    skey, order = jax.lax.sort((key, idx), dimension=-1, num_keys=1)
+    return order, jnp.sqrt(skey)
 
 
 @functools.lru_cache(maxsize=8)
@@ -887,9 +1013,10 @@ def frustum_cull(cams: jax.Array, clusters: jax.Array,
                     0.0)
     key = jnp.sum(d * d, axis=-1)[:, :, None, :]       # [B, A, 1, G]
     key = jnp.where(survive, jnp.broadcast_to(key, survive.shape), INF)
-    order = jnp.argsort(key, axis=-1).astype(jnp.int32)
-    dist = jnp.sqrt(jnp.take_along_axis(key, order, axis=-1))
-    return order, dist
+    idx = jnp.broadcast_to(
+        jnp.arange(key.shape[-1], dtype=jnp.int32), key.shape)
+    skey, order = jax.lax.sort((key, idx), dimension=-1, num_keys=1)
+    return order, jnp.sqrt(skey)
 
 
 # ---------------------------------------------------------------------------

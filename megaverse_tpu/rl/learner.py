@@ -47,6 +47,8 @@ class TrainConfig:
     exploration_coeff: float = 0.001  # symmetric_kl, megaverse_params.py:17
     max_grad_norm: float = 4.0  # 0 disables clipping (reference runs pass 0)
     reward_clip: float = 30.0   # clamp |reward| before the update (SF --reward_clip)
+    num_epochs: int = 1         # PPO epochs over each rollout (SF --ppo_epochs)
+    num_minibatches: int = 1    # env-axis minibatches per epoch (SF num_batches_per_epoch)
     hidden_size: int = 512
     use_rnn: bool = True
     rnn_num_layers: int = 2     # reference runs: --rnn_num_layers=2
@@ -165,9 +167,10 @@ class Learner:
         )
         return logits, values
 
-    def _loss(self, params, batch: RolloutBatch, last_value: jax.Array):
+    def _gae(self, batch: RolloutBatch, last_value: jax.Array):
+        """GAE advantages + returns over [T, B, A], computed once per
+        rollout (PPO epochs/minibatches reuse them)."""
         cfg = self.cfg
-        # GAE over [T, B, A].
         done_f = batch.done[..., None].astype(jnp.float32)  # [T, B, 1]
 
         def gae_step(carry, inp):
@@ -188,7 +191,10 @@ class Learner:
         adv_mean = jnp.mean(advantages)
         adv_std = jnp.std(advantages) + 1e-8
         norm_adv = (advantages - adv_mean) / adv_std
+        return norm_adv, returns
 
+    def _loss(self, params, batch: RolloutBatch, norm_adv, returns):
+        cfg = self.cfg
         logits, values = self._forward_sequence(params, batch)
         logp, entropy = action_log_prob_entropy(logits, batch.actions)
         ratio = jnp.exp(logp - batch.logp)
@@ -224,14 +230,50 @@ class Learner:
         psum-averaged across that mesh axis (data parallelism over envs)."""
         ls, batch = self.collect_rollout(ls, next_scenes, shaping)
         _, last_value, _ = self._policy(ls.params, ls.obs, ls.carry)
+        norm_adv, returns = self._gae(batch, last_value)
 
-        (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            ls.params, batch, last_value
-        )
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
-        updates, opt_state = self.tx.update(grads, ls.opt_state, ls.params)
-        params = optax.apply_updates(ls.params, updates)
+        cfg = self.cfg
+        n_mb = max(1, cfg.num_minibatches)
+        params, opt_state = ls.params, ls.opt_state
+
+        def update(params, opt_state, mb_batch, mb_adv, mb_ret):
+            (loss, metrics), grads = jax.value_and_grad(
+                self._loss, has_aux=True)(params, mb_batch, mb_adv, mb_ret)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                metrics = jax.lax.pmean(metrics, axis_name)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, metrics
+
+        if cfg.num_epochs <= 1 and n_mb <= 1:
+            params, opt_state, metrics = update(params, opt_state, batch,
+                                                norm_adv, returns)
+        else:
+            # Sequence-level minibatching (SF-style: whole rollouts per env,
+            # truncated-BPTT state stays valid); env axis shuffled per epoch.
+            b = self.num_envs
+            assert b % n_mb == 0, (b, n_mb)
+            rng = ls.rng
+            take = lambda x, idx: jnp.take(x, idx, axis=1)
+            metrics = None
+            for _ in range(max(1, cfg.num_epochs)):
+                rng, k = jax.random.split(rng)
+                perm = jax.random.permutation(k, b)
+                for m in range(n_mb):
+                    idx = jax.lax.dynamic_slice_in_dim(perm, m * (b // n_mb),
+                                                       b // n_mb)
+                    mb_batch = RolloutBatch(
+                        obs=take(batch.obs, idx),
+                        actions=take(batch.actions, idx),
+                        logp=take(batch.logp, idx),
+                        value=take(batch.value, idx),
+                        reward=take(batch.reward, idx),
+                        done=take(batch.done, idx),
+                        init_carry=jnp.take(batch.init_carry, idx, axis=0),
+                    )
+                    params, opt_state, metrics = update(
+                        params, opt_state, mb_batch,
+                        take(norm_adv, idx), take(returns, idx))
+            ls = ls._replace(rng=rng)
         ls = ls._replace(params=params, opt_state=opt_state)
         return ls, metrics

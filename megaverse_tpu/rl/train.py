@@ -27,7 +27,8 @@ import numpy as np
 
 from megaverse_tpu import constants as C
 from megaverse_tpu.env import render_batch
-from megaverse_tpu.parallel import ParallelLearner, make_mesh
+from megaverse_tpu.parallel import (ParallelLearner, make_mesh,
+                                    maybe_initialize_distributed)
 from megaverse_tpu.rl.learner import Learner, TrainConfig
 from megaverse_tpu.scenarios import make_scenario
 from megaverse_tpu.types import state_from_scene
@@ -49,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--max_grad_norm", type=float, default=4.0,
                    help="global grad-norm clip; 0 disables (reference runs)")
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--ppo_epochs", type=int, default=1,
+                   help="PPO epochs over each rollout (SF --ppo_epochs)")
+    p.add_argument("--num_minibatches", type=int, default=1,
+                   help="env-axis minibatches per epoch")
     p.add_argument("--gamma", type=float, default=0.997)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--n_devices", type=int, default=None,
@@ -159,6 +164,7 @@ def resolve_task_list(env_name: str):
 
 
 def main(argv=None):
+    maybe_initialize_distributed()
     from megaverse_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -170,7 +176,9 @@ def main(argv=None):
                       use_rnn=bool(args.use_rnn),
                       rnn_num_layers=args.rnn_num_layers,
                       reward_clip=args.reward_clip,
-                      max_grad_norm=args.max_grad_norm)
+                      max_grad_norm=args.max_grad_norm,
+                      num_epochs=args.ppo_epochs,
+                      num_minibatches=args.num_minibatches)
     mesh = make_mesh(args.n_devices)
 
     names = resolve_task_list(args.env)

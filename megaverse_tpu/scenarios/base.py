@@ -214,6 +214,7 @@ class HostScene:
         g = self.cfg.grid
         boxes = greedy_merge_boxes(self.vtype, self.vcolor, g)
         boxes += self.extra_boxes
+        boxes = _morton_sort_boxes(boxes)
         if len(boxes) > max_boxes:
             raise ValueError(
                 f"scene has {len(boxes)} render boxes > max_boxes={max_boxes} "
@@ -245,6 +246,37 @@ class HostScene:
             episode_len_sec=np.float32(self.episode_len_sec),
             scen=scen if scen != () else self.scen,
         )
+
+
+def _morton_sort_boxes(boxes):
+    """Order render boxes by Morton code of their center (x/z interleaved,
+    y lowest bits — layouts are mostly planar).
+
+    The Pallas renderer groups consecutive table rows into CLUSTER_K-row
+    clusters with one conservative AABB each (ops/raycast_pallas.py); the
+    greedy merge emits boxes in x-major scan order, so clusters were long
+    z-streaks. Morton order makes neighbors in the table neighbors in space,
+    which tightens every cluster AABB and with it frustum/occlusion culling.
+    Pure reordering: closest-hit images are order-independent (per-pixel min
+    with deterministic tie-break)."""
+    if len(boxes) <= 4:
+        return boxes
+
+    def spread2(v):  # 10-bit value -> bits interleaved with one zero
+        v &= 0x3FF
+        v = (v | (v << 16)) & 0x30000FF
+        v = (v | (v << 8)) & 0x300F00F
+        v = (v | (v << 4)) & 0x30C30C3
+        v = (v | (v << 2)) & 0x9249249
+        return v
+
+    def key(box):
+        lo, hi, _ = box
+        c = (np.asarray(lo, np.float64) + np.asarray(hi, np.float64)) * 2.0
+        xi, yi, zi = (int(c[0]) & 0x3FF), (int(c[1]) & 0xFF), (int(c[2]) & 0x3FF)
+        return (spread2(xi) << 2 | spread2(zi) << 1) << 8 | yi
+
+    return sorted(boxes, key=key)
 
 
 def greedy_merge_boxes(vtype: np.ndarray, vcolor: np.ndarray, g: GridConfig):

@@ -156,6 +156,17 @@ def test_pallas_cluster_cull_is_exact(scenario):
         order=perm, interpret=True))
     np.testing.assert_array_equal(shuf, plain)
 
+    # ...and the two-level supercluster path (per-tile lists over
+    # superclusters; the kernel prunes SUPER_K*CLUSTER_K rows per vector
+    # test, members re-test individually).
+    clusters_p, sclusters = jax.vmap(RP.build_superclusters)(clusters)
+    order_s, dist_s = RP.frustum_cull(
+        cams, sclusters, cfg.obs_height, cfg.obs_width)
+    sup = np.asarray(RP.render_packed(
+        cams, prims_p, cfg.obs_height, cfg.obs_width, clusters=clusters_p,
+        order=order_s, dist=dist_s, sclusters=sclusters, interpret=True))
+    np.testing.assert_array_equal(sup, plain)
+
     # Cross-backend (kernel vs XLA table): same math, but interpret-mode op
     # ordering can differ by an ulp on hit-boundary pixels — allow isolated
     # one-step channel deltas, nothing more.
