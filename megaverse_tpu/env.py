@@ -58,8 +58,15 @@ def env_step(
     state = scenario.pre_physics(state, action)
 
     # Physics (env.cpp:126: bWorld.stepSimulation -> KCC playerStep per agent).
-    agents = P.player_step(cfg.grid, state.vtype, state.agents, dt)
-    agents = P.resolve_agent_collisions(agents, cfg.grid, state.vtype)
+    # The solid-column bitmask grid is packed once and shared (one cheap
+    # streaming reduction replaces most 3-D voxel gathers — the expensive
+    # primitive on TPU).
+    from megaverse_tpu.ops import grid as _G
+
+    cols = _G.pack_solid_columns(cfg.grid, state.vtype)
+    agents = P.player_step(cfg.grid, state.vtype, state.agents, dt, cols=cols)
+    agents = P.resolve_agent_collisions(agents, cfg.grid, state.vtype,
+                                        cols=cols)
     state = state.replace(agents=agents)
 
     # Scenario logic + rewards (env.cpp:131).

@@ -101,6 +101,148 @@ def aabb_hits_solid(
     return jnp.any(solid_at(cfg, vtype, ii) & in_range, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Packed-column queries: the SOLID bit packed along Y into u32 words per
+# (x, z) column. One 2x2-column gather + bit tests replaces the 12-27-cell
+# 3-D gathers of the generic queries — gathers are the expensive primitive on
+# TPU, and the per-step repack is a cheap streaming reduction over the grid.
+# Semantics (incl. BOUNDARY_EPS index rounding) are identical to the generic
+# functions above; tests pin the physics behavior either way.
+# ---------------------------------------------------------------------------
+
+def pack_solid_columns(cfg: GridConfig, vtype: jax.Array) -> jax.Array:
+    """[X, Y, Z] voxel flags -> u32 [X, W, Z], W = ceil(Y/32); bit y%32 of
+    word y//32 is the SOLID flag of cell y."""
+    x, y, z = cfg.dims
+    w = -(-y // 32)
+    solid = ((vtype & C.VOXEL_SOLID) != 0).astype(jnp.uint32)
+    pad = w * 32 - y
+    if pad:
+        solid = jnp.pad(solid, ((0, 0), (0, pad), (0, 0)))
+    solid = solid.reshape(x, w, 32, z)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+    return jnp.sum(solid << shifts, axis=2, dtype=jnp.uint32)
+
+
+def _gather_cols(cfg: GridConfig, cols: jax.Array, ix: jax.Array, iz: jax.Array):
+    """Column words at integer (ix, iz) [...]; out of bounds -> 0.
+    Returns u32 [..., W]."""
+    x, _, z = cfg.dims
+    valid = (ix >= 0) & (ix < x) & (iz >= 0) & (iz < z)
+    ixc = jnp.clip(ix, 0, x - 1)
+    izc = jnp.clip(iz, 0, z - 1)
+    vals = cols[ixc, :, izc]  # [..., W]
+    return jnp.where(valid[..., None], vals, 0)
+
+
+def _mask_below(h: jax.Array) -> jax.Array:
+    """u32 mask with bits [0, h) set; h in [0, 32]."""
+    h = jnp.clip(h, 0, 32)
+    full = h >= 32
+    m = (jnp.uint32(1) << jnp.clip(h, 0, 31).astype(jnp.uint32)) - jnp.uint32(1)
+    return jnp.where(full, jnp.uint32(0xFFFFFFFF), m)
+
+
+def _range_mask(y0: jax.Array, y1: jax.Array, word: int) -> jax.Array:
+    """u32 mask of bits for cells [y0, y1] inclusive within word index."""
+    return _mask_below(y1 + 1 - 32 * word) & ~_mask_below(y0 - 32 * word)
+
+
+def _highest_bit(v: jax.Array) -> jax.Array:
+    """Index of highest set bit of u32 (undefined 0 -> returns 0)."""
+    hb = jnp.zeros(v.shape, jnp.uint32)
+    for s in (16, 8, 4, 2, 1):
+        big = (v >> (hb + s)) > 0
+        hb = jnp.where(big, hb + s, hb)
+    return hb.astype(jnp.int32)
+
+
+def _lowest_bit(v: jax.Array) -> jax.Array:
+    iso = v & (~v + jnp.uint32(1))
+    return _highest_bit(iso)
+
+
+def _footprint_cols(cfg: GridConfig, cols, x0, x1, z0, z1, span_xz):
+    """Gather the (<= sx*sz) column words under a footprint with in-range
+    mask. Returns (words u32 [..., S, W], in_range bool [..., S])."""
+    sx, sz = span_xz
+    ix0 = axis_index(cfg, 0, x0 + BOUNDARY_EPS)
+    ix1 = axis_index(cfg, 0, x1 - BOUNDARY_EPS)
+    iz0 = axis_index(cfg, 2, z0 + BOUNDARY_EPS)
+    iz1 = axis_index(cfg, 2, z1 - BOUNDARY_EPS)
+    off = _offsets(sx, sz)  # [S, 2]
+    ix = ix0[..., None] + off[..., 0]
+    iz = iz0[..., None] + off[..., 1]
+    in_range = (ix <= ix1[..., None]) & (iz <= iz1[..., None])
+    return _gather_cols(cfg, cols, ix, iz), in_range
+
+
+def cols_aabb_hits_solid(cfg, cols, lo, hi, span_xz) -> jax.Array:
+    """aabb_hits_solid on packed columns. lo/hi [..., 3] -> bool [...]."""
+    words, in_range = _footprint_cols(
+        cfg, cols, lo[..., 0], hi[..., 0], lo[..., 2], hi[..., 2], span_xz)
+    iy0 = axis_index(cfg, 1, lo[..., 1] + BOUNDARY_EPS)
+    iy1 = axis_index(cfg, 1, hi[..., 1] - BOUNDARY_EPS)
+    ny = cfg.dims[1]
+    iy0 = jnp.maximum(iy0, 0)[..., None]
+    iy1 = jnp.minimum(iy1, ny - 1)[..., None]
+    hit = jnp.zeros(words.shape[:-2], bool)
+    for w in range(words.shape[-1]):
+        m = _range_mask(iy0, iy1, w)
+        hit = hit | jnp.any(in_range & ((words[..., w] & m) != 0), axis=-1)
+    return hit
+
+
+def cols_highest_floor_below(cfg, cols, x0, x1, z0, z1, bottom, max_drop,
+                             span_xz):
+    """highest_floor_below on packed columns -> (top_y, found)."""
+    words, in_range = _footprint_cols(cfg, cols, x0, x1, z0, z1, span_xz)
+    iy_top = axis_index(cfg, 1, bottom + BOUNDARY_EPS) - 1
+    # floor top must lie in [bottom - max_drop, bottom]: top = (y+1)*vs + org.
+    # -1 widens one cell so the exact-equality candidate survives; the top_y
+    # post-filter restores the precise bound.
+    iy_lo = axis_index(cfg, 1, bottom - max_drop) - 1
+    ny = cfg.dims[1]
+    iy0 = jnp.clip(iy_lo, 0, ny - 1)[..., None]
+    iy1 = jnp.clip(iy_top, -1, ny - 1)[..., None]
+    best = jnp.full(words.shape[:-1], -1, jnp.int32)  # [..., S]
+    for w in range(words.shape[-1]):
+        m = _range_mask(iy0, iy1, w)
+        bits = words[..., w] & m
+        hb = _highest_bit(bits) + 32 * w
+        best = jnp.where((bits != 0) & in_range, jnp.maximum(best, hb), best)
+    best = jnp.max(best, axis=-1)  # [...]
+    found = best >= 0
+    top_y = cfg.origin[1] + (best.astype(jnp.float32) + 1.0) * cfg.voxel_size
+    # keep exact generic-path filter: top within [bottom - max_drop, bottom]
+    ok = found & (top_y >= bottom - max_drop)
+    return jnp.where(ok, top_y, -jnp.inf), ok
+
+
+def cols_lowest_ceiling_above(cfg, cols, x0, x1, z0, z1, top, max_rise,
+                              span_xz):
+    """lowest_ceiling_above on packed columns -> (bottom_y, found)."""
+    words, in_range = _footprint_cols(cfg, cols, x0, x1, z0, z1, span_xz)
+    iy_bot = axis_index(cfg, 1, top - BOUNDARY_EPS) + 1
+    # ceiling bottom must lie below top + max_rise: y*vs + org < top + max_rise
+    iy_hi = axis_index(cfg, 1, top + max_rise)
+    ny = cfg.dims[1]
+    iy0 = jnp.clip(iy_bot, 0, ny - 1)[..., None]
+    iy1 = jnp.clip(iy_hi, -1, ny - 1)[..., None]
+    big = jnp.int32(1 << 30)
+    best = jnp.full(words.shape[:-1], big, jnp.int32)
+    for w in range(words.shape[-1]):
+        m = _range_mask(iy0, iy1, w)
+        bits = words[..., w] & m
+        lb = _lowest_bit(bits) + 32 * w
+        best = jnp.where((bits != 0) & in_range, jnp.minimum(best, lb), best)
+    best = jnp.min(best, axis=-1)
+    found = best < big
+    bot_y = cfg.origin[1] + best.astype(jnp.float32) * cfg.voxel_size
+    ok = found & (bot_y < top + max_rise)
+    return jnp.where(ok, bot_y, jnp.inf), ok
+
+
 def highest_floor_below(
     cfg: GridConfig,
     vtype: jax.Array,

@@ -120,7 +120,7 @@ def apply_acceleration(agents: AgentState, action: jax.Array, dt: float) -> Agen
     return agents.replace(hvel=hvel, vvel=vvel, jumping=jumping)
 
 
-def _sweep_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
+def _sweep_horizontal(cfg: GridConfig, cols: jax.Array, pos: jax.Array,
                       dx: jax.Array, dz: jax.Array):
     """First time-of-impact for the capsule AABB translating by (dx, 0, dz).
 
@@ -132,6 +132,8 @@ def _sweep_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
     using the other axis's extent AT that time) is solid.
 
     Returns (t [0..1] fraction before impact, hit bool, hit_is_x bool).
+
+    `cols` is the packed solid-column bitmask grid (grid.pack_solid_columns).
     """
     he_y = HALF_Y
     x0 = pos[..., 0] - HALF_XZ
@@ -140,7 +142,6 @@ def _sweep_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
     z1 = pos[..., 2] + HALF_XZ
     bottom = pos[..., 1] - he_y
     top = pos[..., 1] + he_y
-    sy = G.span_for(cfg, (2 * he_y,))[0]
     sxz = _span_xz(cfg)[0]
 
     def axis_event(d, f0, f1, o0, o1, axis):
@@ -166,12 +167,12 @@ def _sweep_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
     def slab_solid_x(t):
         lo = jnp.stack([slab_x, bottom, z0 + dz * t], axis=-1)
         hi = jnp.stack([slab_x, top, z1 + dz * t], axis=-1)
-        return G.aabb_hits_solid(cfg, vtype, lo, hi, (1, sy, sxz))
+        return G.cols_aabb_hits_solid(cfg, cols, lo, hi, (1, sxz))
 
     def slab_solid_z(t):
         lo = jnp.stack([x0 + dx * t, bottom, slab_z], axis=-1)
         hi = jnp.stack([x1 + dx * t, top, slab_z], axis=-1)
-        return G.aabb_hits_solid(cfg, vtype, lo, hi, (sxz, sy, 1))
+        return G.cols_aabb_hits_solid(cfg, cols, lo, hi, (sxz, 1))
 
     hit_x = cross_x & slab_solid_x(t_x)
     hit_z = cross_z & slab_solid_z(t_z)
@@ -183,7 +184,7 @@ def _sweep_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
     return t, hit, x_first
 
 
-def _slide_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
+def _slide_horizontal(cfg: GridConfig, cols: jax.Array, pos: jax.Array,
                       dx: jax.Array, dz: jax.Array) -> jax.Array:
     """stepForwardAndStrafe (kcc.cpp:337-393): bounded-iteration sweep-and-
     slide with the Quake2 stop rule.
@@ -202,7 +203,7 @@ def _slide_horizontal(cfg: GridConfig, vtype: jax.Array, pos: jax.Array,
     odx, odz = dx, dz
     active = (jnp.abs(dx) + jnp.abs(dz)) > 0.0
     for _ in range(3):
-        t, hit, x_first = _sweep_horizontal(cfg, vtype, pos, dx, dz)
+        t, hit, x_first = _sweep_horizontal(cfg, cols, pos, dx, dz)
         hit = hit & active
         # Truncate the hit axis at the impact fraction, backed off by the
         # clamp margin (the ghost sweep's allowedCcdPenetration analogue).
@@ -223,8 +224,14 @@ def player_step(
     vtype: jax.Array,
     agents: AgentState,
     dt: float,
+    cols: jax.Array = None,
 ) -> AgentState:
-    """One physics tick for all agents (ref playerStep, kcc.cpp:528-602)."""
+    """One physics tick for all agents (ref playerStep, kcc.cpp:528-602).
+
+    `cols` (grid.pack_solid_columns(cfg, vtype)) may be passed in to share
+    the packed solid-column grid across physics calls in one env step."""
+    if cols is None:
+        cols = G.pack_solid_columns(cfg, vtype)
     pos0 = agents.pos
     was_on_ground = agents.on_ground
 
@@ -244,8 +251,8 @@ def player_step(
     # --- stepUp (kcc.cpp:223-304) ---
     step_h = jnp.where(vvel < 0, C.KCC_STEP_HEIGHT, 0.0)
     up_dist = step_h + jnp.maximum(voffset, 0.0)
-    ceil_y, ceil_found = G.lowest_ceiling_above(
-        cfg, vtype, x0, x1, z0, z1, top, MAX_RISE, _span_xz(cfg)
+    ceil_y, ceil_found = G.cols_lowest_ceiling_above(
+        cfg, cols, x0, x1, z0, z1, top, MAX_RISE, _span_xz(cfg)
     )
     free_rise = jnp.where(ceil_found, jnp.maximum(ceil_y - top - CLAMP_MARGIN, 0.0), jnp.inf)
     blocked_up = free_rise < up_dist
@@ -264,7 +271,7 @@ def player_step(
     voffset = jnp.where(hit_ceiling_rising, 0.0, voffset)
 
     # --- stepForwardAndStrafe (kcc.cpp:337-393), iterative sweep-slide ---
-    pos = _slide_horizontal(cfg, vtype, pos,
+    pos = _slide_horizontal(cfg, cols, pos,
                             agents.hvel[..., 0] * dt, agents.hvel[..., 2] * dt)
 
     # --- stepDown (kcc.cpp:400-442) ---
@@ -274,8 +281,8 @@ def player_step(
     drop = step_offset + down_vel * dt
 
     bottom = pos[..., 1] - HALF_Y
-    floor_y, floor_found = G.highest_floor_below(
-        cfg, vtype,
+    floor_y, floor_found = G.cols_highest_floor_below(
+        cfg, cols,
         pos[..., 0] - HALF_XZ, pos[..., 0] + HALF_XZ,
         pos[..., 2] - HALF_XZ, pos[..., 2] + HALF_XZ,
         bottom, MAX_DROP, _span_xz(cfg),
@@ -306,7 +313,8 @@ def player_step(
 
 
 def resolve_agent_collisions(agents: AgentState, cfg: GridConfig = None,
-                             vtype: jax.Array = None) -> AgentState:
+                             vtype: jax.Array = None,
+                             cols: jax.Array = None) -> AgentState:
     """Pairwise capsule-capsule horizontal push-out.
 
     Replaces agent-vs-agent sweep collisions + penetration recovery
@@ -334,7 +342,9 @@ def resolve_agent_collisions(agents: AgentState, cfg: GridConfig = None,
     degen = overlap & (d_xz < 1e-5)
     dir_xz = jnp.where(degen[..., None], jnp.array([1.0, 0.0, 0.0]), dir_xz)
     push = jnp.sum(push_mag[..., None] * dir_xz, axis=1)  # [A, 3]
-    if cfg is None or vtype is None:
+    if cfg is None or (vtype is None and cols is None):
         return agents.replace(pos=pos + push)
-    new_pos = _slide_horizontal(cfg, vtype, pos, push[..., 0], push[..., 2])
+    if cols is None:
+        cols = G.pack_solid_columns(cfg, vtype)
+    new_pos = _slide_horizontal(cfg, cols, pos, push[..., 0], push[..., 2])
     return agents.replace(pos=new_pos)

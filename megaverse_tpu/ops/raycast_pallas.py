@@ -915,10 +915,16 @@ def sort_clusters(cams: jax.Array, clusters: jax.Array):
 
 
 @functools.lru_cache(maxsize=8)
-def _tile_dir_bounds(height: int, width: int):
-    """Static camera-space ray-direction bounds per 8-row tile: f32 numpy
+def _tile_dir_bounds(height: int, width: int, tile_h: int = TILE_H,
+                     tile_w: int = TILE_W):
+    """Static camera-space ray-direction bounds per pixel tile: f32 numpy
     [T, 3] lo and hi, widened by a safety margin so they bound the kernel's
-    f32/rsqrt-approximated directions for every pixel of the tile."""
+    f32/rsqrt-approximated directions for every pixel of the tile.
+
+    Tiles are (tile_h x tile_w) pixel blocks in row-major block order,
+    T = ceil(height/tile_h) * (width/tile_w); the last tile row may extend
+    past `height` — those rows are excluded from the bounds (the blocked
+    kernel discards their pixels)."""
     rows = np.arange(height, dtype=np.float64)[:, None]
     cols = np.arange(width, dtype=np.float64)[None, :]
     tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2))
@@ -928,16 +934,23 @@ def _tile_dir_bounds(height: int, width: int):
     inv_len = 1.0 / np.sqrt(u * u + v * v + 1.0)
     d0 = np.stack(np.broadcast_arrays(u * inv_len, v * inv_len,
                                       -inv_len + 0 * u), axis=-1)
-    t = height // TILE_H
-    d0 = d0.reshape(t, TILE_H, width, 3)
+    ty = -(-height // tile_h)
+    tx = width // tile_w
     margin = 2e-3  # covers TPU rsqrt/trig approximation vs numpy exact
-    lo = (d0.min(axis=(1, 2)) - margin).astype(np.float32)
-    hi = (d0.max(axis=(1, 2)) + margin).astype(np.float32)
+    lo = np.empty((ty * tx, 3), np.float32)
+    hi = np.empty((ty * tx, 3), np.float32)
+    for iy in range(ty):
+        for ix in range(tx):
+            blk = d0[iy * tile_h:(iy + 1) * tile_h,
+                     ix * tile_w:(ix + 1) * tile_w]
+            lo[iy * tx + ix] = blk.min(axis=(0, 1)) - margin
+            hi[iy * tx + ix] = blk.max(axis=(0, 1)) + margin
     return lo, hi
 
 
 def frustum_cull(cams: jax.Array, clusters: jax.Array,
-                 height: int, width: int):
+                 height: int, width: int,
+                 tile_h: int = TILE_H, tile_w: int = TILE_W):
     """Per-TILE front-to-back cluster lists with conservative frustum culling.
 
     cams [B, A, 8], clusters [B, G, 8] ->
@@ -952,8 +965,8 @@ def frustum_cull(cams: jax.Array, clusters: jax.Array,
     (max tile depth starts at the far plane) therefore never visits them.
     Survivors keep the eye-distance lower bound used for early termination,
     sorted ascending (front-to-back)."""
-    t = height // TILE_H
-    d0lo, d0hi = _tile_dir_bounds(height, width)       # [T, 3] each
+    t = -(-height // tile_h) * (width // tile_w)
+    d0lo, d0hi = _tile_dir_bounds(height, width, tile_h, tile_w)  # [T, 3]
     d0lo = jnp.asarray(d0lo)[None, None]               # [1, 1, T, 3]
     d0hi = jnp.asarray(d0hi)[None, None]
 

@@ -83,12 +83,14 @@ def main() -> None:
 
     @jax.jit
     def cull(cams, clusters):
-        return RP.frustum_cull(cams, clusters, h, w)
+        clusters, sclusters = jax.vmap(RP.build_superclusters)(clusters)
+        order, dist = RP.frustum_cull(cams, sclusters, h, w)
+        return clusters, sclusters, order, dist
 
     @jax.jit
-    def kernel(cams, prims, clusters, order, dist):
+    def kernel(cams, prims, clusters, sclusters, order, dist):
         return RP.render_packed(cams, prims, h, w, clusters=clusters,
-                                order=order, dist=dist)
+                                order=order, dist=dist, sclusters=sclusters)
 
     @jax.jit
     def full(states, remaining):
@@ -96,9 +98,10 @@ def main() -> None:
 
     ms_build, (cams, prims, clusters) = timeit(build, states, remaining,
                                                steps=args.steps)
-    ms_cull, (order, dist) = timeit(cull, cams, clusters, steps=args.steps)
-    ms_kernel, _ = timeit(kernel, cams, prims, clusters, order, dist,
-                          steps=args.steps)
+    ms_cull, (clusters, sclusters, order, dist) = timeit(
+        cull, cams, clusters, steps=args.steps)
+    ms_kernel, _ = timeit(kernel, cams, prims, clusters, sclusters, order,
+                          dist, steps=args.steps)
     ms_full, _ = timeit(full, states, remaining, steps=args.steps)
 
     n = args.num_envs * args.num_agents

@@ -74,3 +74,47 @@ def test_oob_is_empty():
         CFG, v, jnp.array([[100.0, 0.0, 0.0]]), jnp.array([[100.6, 1.7, 0.6]]), (2, 3, 2)
     )
     assert not bool(hit[0])
+
+
+def test_packed_columns_match_generic_queries():
+    """cols_* queries are drop-in equivalents of the generic 3-D-gather
+    versions (same BOUNDARY_EPS rounding, same results) on random worlds."""
+    import numpy as np
+    from megaverse_tpu.types import GridConfig
+
+    rng = np.random.default_rng(0)
+    cfg = GridConfig(dims=(12, 40, 12), voxel_size=1.0, origin=(-2.0, -3.0, -2.0))
+    vt = (rng.random((12, 40, 12)) < 0.15).astype(np.uint8) * C.VOXEL_SOLID
+    vt = jnp.asarray(vt)
+    cols = G.pack_solid_columns(cfg, vt)
+
+    n = 256
+    pos = rng.uniform(-3, 11, size=(n, 3)).astype(np.float32)
+    # y restricted so query windows stay inside the grid: outside it the
+    # generic version truncates the search to a fixed cell window while the
+    # packed version searches the exact [start, start+range] interval (the
+    # packed behavior is the correct one; physics keeps agents in-grid).
+    pos[:, 1] = rng.uniform(-1, 33, size=n)
+    he = np.array([0.33, 0.855, 0.33], np.float32)
+    lo = jnp.asarray(pos - he)
+    hi = jnp.asarray(pos + he)
+
+    a = G.aabb_hits_solid(cfg, vt, lo, hi, (2, 3, 2))
+    b = G.cols_aabb_hits_solid(cfg, cols, lo, hi, (2, 2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x0, x1 = lo[:, 0], hi[:, 0]
+    z0, z1 = lo[:, 2], hi[:, 2]
+    bottom = lo[:, 1]
+    fy1, ff1 = G.highest_floor_below(cfg, vt, x0, x1, z0, z1, bottom, 4.0, (2, 2))
+    fy2, ff2 = G.cols_highest_floor_below(cfg, cols, x0, x1, z0, z1, bottom, 4.0, (2, 2))
+    np.testing.assert_array_equal(np.asarray(ff1), np.asarray(ff2))
+    np.testing.assert_array_equal(np.asarray(fy1)[np.asarray(ff1)],
+                                  np.asarray(fy2)[np.asarray(ff2)])
+
+    top = hi[:, 1]
+    cy1, cf1 = G.lowest_ceiling_above(cfg, vt, x0, x1, z0, z1, top, 2.0, (2, 2))
+    cy2, cf2 = G.cols_lowest_ceiling_above(cfg, cols, x0, x1, z0, z1, top, 2.0, (2, 2))
+    np.testing.assert_array_equal(np.asarray(cf1), np.asarray(cf2))
+    np.testing.assert_array_equal(np.asarray(cy1)[np.asarray(cf1)],
+                                  np.asarray(cy2)[np.asarray(cf2)])
