@@ -87,8 +87,9 @@ class _Task:
         self.num_envs = args.num_envs
         self.cfg = cfg
         self.mesh = mesh
+        self._segments = self.scenario.cfg.prop_segments
         self._hw_boxes = 0
-        self._hw_props = 0
+        self._hw_props = ([0] * len(self._segments) if self._segments else 0)
 
         ss = np.random.SeedSequence(seed)
         self.gens = [np.random.Generator(np.random.PCG64(s))
@@ -118,17 +119,33 @@ class _Task:
 
     def _bucket_for(self, margin: float):
         roundup = lambda n, q: ((max(int(n), 1) + q - 1) // q) * q
-        return (roundup(self._hw_boxes * margin, 4),
-                roundup(self._hw_props * margin, 4))
+        if self._segments:
+            # segmented prop tables (see render_batch): per-segment counts
+            pb = tuple(roundup(n * margin, 4) for n in self._hw_props)
+        else:
+            pb = roundup(self._hw_props * margin, 4)
+        return (roundup(self._hw_boxes * margin, 4), pb)
+
+    def _bucket_grew(self) -> bool:
+        if self._hw_boxes > self.bucket[0]:
+            return True
+        if self._segments:
+            return any(n > b for n, b in zip(self._hw_props, self.bucket[1]))
+        return self._hw_props > self.bucket[1]
 
     def gen_batch(self, idx):
         scenes = [self.scenario.generate(self.gens[i]) for i in idx]
         for sc in scenes:
             self._hw_boxes = max(
                 self._hw_boxes, int((np.asarray(sc.box_color) > 0).sum()))
-            self._hw_props = max(
-                self._hw_props,
-                int((np.asarray(sc.props.type) != C.PROP_NONE).sum()))
+            types = np.asarray(sc.props.type)
+            if self._segments:
+                for i, (ptype, start, cap) in enumerate(self._segments):
+                    n = int((types[start:start + cap] != C.PROP_NONE).sum())
+                    self._hw_props[i] = max(self._hw_props[i], n)
+            else:
+                self._hw_props = max(
+                    self._hw_props, int((types != C.PROP_NONE).sum()))
         return jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *scenes)
 
@@ -140,8 +157,7 @@ class _Task:
             idx_dev = jnp.asarray(idx)
             self.next_scenes = jax.tree.map(
                 lambda buf, n: buf.at[idx_dev].set(n), self.next_scenes, new)
-            if (self._hw_boxes > self.bucket[0]
-                    or self._hw_props > self.bucket[1]):
+            if self._bucket_grew():
                 self.bucket = self._bucket_for(margin=1.5)
                 learner = Learner(self.scenario, self.num_envs, self.cfg,
                                   render_bucket=self.bucket)

@@ -71,8 +71,29 @@ class SokobanScenario(Scenario):
     # ------------------------------------------------------------- generate
     def generate(self, rng: np.random.Generator) -> SceneData:
         rows = self._levels.sample(rng)
-        scene = HostScene(self.cfg)
         floor_color = int(_FLOOR_COLORS[int(rng.integers(0, len(_FLOOR_COLORS)))])
+        yaws = (rng.random(self.num_agents) * 2 * np.pi).astype(np.float32)
+        return self._build(rows, floor_color, yaws)
+
+    supports_ref_stream = True
+
+    def generate_ref(self, rng) -> SceneData:
+        # Reference draw order per reset (env.cpp:57-76 + scenario_sokoban.cpp):
+        # [cache empty only] randomSample(levelFiles) + std::shuffle(levels)
+        # (reloadLevels, cpp:81-102) -> pop back (no draw, cpp:104-118) ->
+        # floorColor randomSample of 5 (createLayout, cpp:120-126) ->
+        # per-agent spawn yaw (scenario_default.hpp:86). Golden trace:
+        # tests/golden/sokoban_golden.cpp.
+        from megaverse_tpu.utils.refrng import ref_spawn_yaw
+
+        rows = self._levels.sample_ref(rng)
+        floor_color = int(_FLOOR_COLORS[rng.rand_range(0, len(_FLOOR_COLORS))])
+        yaws = np.asarray([ref_spawn_yaw(rng) for _ in range(self.num_agents)],
+                          np.float32)
+        return self._build(rows, floor_color, yaws)
+
+    def _build(self, rows, floor_color: int, yaws: np.ndarray) -> SceneData:
+        scene = HostScene(self.cfg)
 
         goal = np.zeros((SIZE, SIZE), bool)
         wall = np.zeros((SIZE, SIZE), bool)
@@ -126,7 +147,7 @@ class SokobanScenario(Scenario):
             spawns[i] = [ax * VOXEL + 0.5, VOXEL + 0.3 * i * VOXEL + C.AGENT_HEIGHT,
                          az * VOXEL + 0.5]
         scene.agent_spawn = spawns
-        scene.agent_yaw = (rng.random(a) * 2 * np.pi).astype(np.float32)
+        scene.agent_yaw = np.asarray(yaws, np.float32)
 
         # pushable boxes: dark blue, drawn (1, 0.45, 1)*0.8 half extents at
         # y offset +0.2*vs (cpp:257-275); voxel-solid for physics.

@@ -137,12 +137,38 @@ def generate_level(rng: np.random.Generator, size: int = 10, num_boxes: int = 4,
 class LevelSource:
     """Random level stream: boxoban files when available, generator otherwise."""
 
+    _parse = staticmethod(parse_level_file)  # injectable for tests
+
     def __init__(self):
         self.files = find_level_files()
 
     def sample(self, rng: np.random.Generator) -> List[str]:
         if self.files:
             path = self.files[int(rng.integers(0, len(self.files)))]
-            levels = parse_level_file(path)
+            levels = self._parse(path)
             return levels[int(rng.integers(0, len(levels)))]
         return generate_level(rng)
+
+    def sample_ref(self, rng) -> List[str]:
+        """Reference-stream level draw (scenario_sokoban.cpp:81-118): a
+        per-env level cache, refilled by randomSample(levelFiles) + parse +
+        std::shuffle when empty; every reset pops the BACK of the cache. The
+        cache hangs off the env's persistent Rng object — the analogue of the
+        C++ env-instance `levels` vector (the Rng identity outlives episode
+        reseeds exactly like `envState.rng` does).
+
+        Without the Boxoban dataset the reference aborts
+        (scenario_sokoban.cpp:72-74); here the procedural generator takes
+        over, seeded from the episode stream — deterministic, but with no
+        reference stream to match."""
+        if not self.files:
+            gen = np.random.Generator(np.random.PCG64(rng.rand_range(0, 1 << 30)))
+            return generate_level(gen)
+        cache = getattr(rng, "soko_level_cache", None)
+        if cache is None:
+            cache = rng.soko_level_cache = []
+        if not cache:
+            path = rng.random_sample(self.files)
+            cache.extend(self._parse(path))
+            rng.shuffle(cache)
+        return cache.pop()

@@ -9,7 +9,7 @@ import numpy as np
 
 from megaverse_tpu import constants as C
 from megaverse_tpu.scenarios import make_scenario
-from megaverse_tpu.utils.refrng import Rng, episode_reseed
+from megaverse_tpu.utils.refrng import Rng, episode_reseed, ref_spawn_yaw
 
 EP_SEED = 81935403
 DIMS = [5, 15, 24, 3, 6, 2, 3, 9, 9, 10, 5]
@@ -95,3 +95,81 @@ def test_vector_env_reference_mode():
     np.testing.assert_array_equal(np.asarray(e1.state.agents.yaw),
                                   np.asarray(e2.state.agents.yaw))
     e1.close(), e2.close()
+
+
+# --- Sokoban (golden: tests/golden/sokoban_golden.cpp, g++ 12 libstdc++) ----
+
+SOKO_GOLD = [
+    # (seed, file_idx or None, popped level id, floor idx, yaws)
+    (81935403, 900, 0, 1, (1.37102151, 6.08310795)),
+    (13084896, None, 1, 1, (0.502104402, 0.231986374)),
+    (856369642, None, 2, 4, (5.71843529, 0.586530387)),
+    (556844276, 353, 1, 0, (0.792877197, 5.23690701)),
+]
+
+# three distinguishable synthetic levels (1/2/3 boxes)
+_SOKO_LEVELS = [
+    ["##########", "#@$.     #", "#        #", "##########"],
+    ["##########", "#@$.$.   #", "#        #", "##########"],
+    ["##########", "#@$.$.$. #", "#        #", "##########"],
+]
+
+
+def _fake_source():
+    from megaverse_tpu.utils.boxoban import LevelSource
+
+    src = LevelSource.__new__(LevelSource)
+    src.files = [f"{i:03d}.txt" for i in range(1000)]
+    picked = []
+
+    def parse(path):
+        picked.append(path)
+        return [list(lv) for lv in _SOKO_LEVELS]
+
+    src._parse = parse
+    return src, picked
+
+
+def test_sokoban_reference_stream_draws():
+    """Level-cache refill (randomSample file + std::shuffle), back-pop order,
+    floor color and spawn yaws reproduce the libstdc++ golden trace across 4
+    resets including a mid-stream cache refill (scenario_sokoban.cpp:81-126)."""
+    src, picked = _fake_source()
+    rng = Rng(7)
+    for seed, file_idx, level_id, floor_idx, yaws in SOKO_GOLD:
+        assert episode_reseed(rng) == seed
+        rows = src.sample_ref(rng)
+        if file_idx is not None:
+            assert picked.pop() == f"{file_idx:03d}.txt"
+        assert not picked
+        assert rows == _SOKO_LEVELS[level_id]
+        assert rng.rand_range(0, 5) == floor_idx
+        got = [ref_spawn_yaw(rng) for _ in range(2)]
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(yaws, np.float32))
+
+
+def test_sokoban_reference_stream_layout():
+    """generate_ref end-to-end: golden floor color on the scene voxels, golden
+    f32 spawn yaws, and the popped level's geometry (box count)."""
+    from megaverse_tpu.scenarios.sokoban import _FLOOR_COLORS
+
+    sc = make_scenario("Sokoban", num_agents=2)
+    src, _ = _fake_source()
+    sc._levels = src
+    rng = Rng(7)
+    seed, _file, level_id, floor_idx, yaws = SOKO_GOLD[0]
+    assert episode_reseed(rng) == seed
+    scene = sc.generate_ref(rng)
+    assert int(np.asarray(scene.scen.num_boxes)) == level_id + 1
+    # golden floor color appears in the merged render boxes (the floor slab)
+    assert _FLOOR_COLORS[floor_idx] in np.asarray(scene.box_color)
+    np.testing.assert_array_equal(np.asarray(scene.agent_yaw, np.float32),
+                                  np.asarray(yaws, np.float32))
+    # second reset pops the next level without consuming file/shuffle draws
+    assert episode_reseed(rng) == SOKO_GOLD[1][0]
+    scene2 = sc.generate_ref(rng)
+    assert int(np.asarray(scene2.scen.num_boxes)) == SOKO_GOLD[1][2] + 1
+    np.testing.assert_array_equal(
+        np.asarray(scene2.agent_yaw, np.float32),
+        np.asarray(SOKO_GOLD[1][4], np.float32))
