@@ -101,7 +101,7 @@ _EYE_OFFSET = (0.0, 0.0, -0.19)
 def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                    cluster_k=0, sorted_order=False, early_exit=False,
                    per_tile=False, prim_flat=False, ui_indicators=False,
-                   super_k=0, num_clusters=0):
+                   super_k=0, num_clusters=0, merge_tiles=False):
     if super_k:
         # supercluster mode implies sorted per-tile lists + early exit
         clusters_ref, sclusters_ref, order_ref, dist_ref, out_ref = rest
@@ -122,7 +122,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
     pitch = cam_ref[0, agent, 4]
     time_frac = cam_ref[0, agent, 5]
 
-    tile_row = pl.program_id(2)
+
 
     # Table loads: SMEM tables arrive FLATTENED to 1D (SMEM pads each
     # window's minor dim to 1 KB — a [M, 12] block would burn 1 KB per row).
@@ -135,399 +135,373 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
     if super_k:
         scload = lambda g, c: sclusters_ref[0, 0, g * 8 + c]
 
-    tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2)).astype(np.float32)
-    tan_v = np.float32(tan_h * height / width)
+    # Per-tile render body; `merge_tiles` loops it over all tile
+    # rows inside ONE program per (env, agent) — amortizing the
+    # program setup/DMA overhead of the 3D grid.
+    def _tile(tile_row):
+        tan_h = np.tan(np.deg2rad(C.CAMERA_FOV_DEG / 2)).astype(np.float32)
+        tan_v = np.float32(tan_h * height / width)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    rowf = rows + tile_row * TILE_H
-    u = ((cols + 0.5) / width * 2.0 - 1.0) * tan_h
-    v = (1.0 - (rowf + 0.5) / height * 2.0) * tan_v
-    inv_len = jax.lax.rsqrt(u * u + v * v + 1.0)
-    dx0 = u * inv_len
-    dy0 = v * inv_len
-    dz0 = -inv_len
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        rowf = rows + tile_row * TILE_H
+        u = ((cols + 0.5) / width * 2.0 - 1.0) * tan_h
+        v = (1.0 - (rowf + 0.5) / height * 2.0) * tan_v
+        inv_len = jax.lax.rsqrt(u * u + v * v + 1.0)
+        dx0 = u * inv_len
+        dy0 = v * inv_len
+        dz0 = -inv_len
 
-    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
-    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
-    y1 = cp * dy0 - sp * dz0
-    z1 = sp * dy0 + cp * dz0
-    dx = cy * dx0 + sy * z1
-    dy = y1
-    dz = -sy * dx0 + cy * z1
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+        y1 = cp * dy0 - sp * dz0
+        z1 = sp * dy0 + cp * dz0
+        dx = cy * dx0 + sy * z1
+        dy = y1
+        dz = -sy * dx0 + cy * z1
 
-    eps = 1e-12
-    ix = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
-    iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
-    iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
+        eps = 1e-12
+        ix = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
+        iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
+        iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
 
-    near = np.float32(C.CAMERA_NEAR)
+        near = np.float32(C.CAMERA_NEAR)
 
-    # ---- intersection routines (share the ray tile via closure) ----
-    # Slab tests take the hoisted o*i products (ox·rix etc. computed once per
-    # ray frame, not per row) — mirrors ops/raycast.py box_hit exactly so the
-    # backends stay arithmetically identical.
-    def aabb(lox, loy, loz, hix, hiy, hiz, oxix, oyiy, oziz,
-             rdx, rdy, rdz, rix, riy, riz):
-        t1x = lox * rix - oxix
-        t2x = hix * rix - oxix
-        t1y = loy * riy - oyiy
-        t2y = hiy * riy - oyiy
-        t1z = loz * riz - oziz
-        t2z = hiz * riz - oziz
-        tminx = jnp.minimum(t1x, t2x)
-        tminy = jnp.minimum(t1y, t2y)
-        tminz = jnp.minimum(t1z, t2z)
-        tmin = jnp.maximum(tminx, jnp.maximum(tminy, tminz))
-        tmax = jnp.minimum(jnp.maximum(t1x, t2x),
-                           jnp.minimum(jnp.maximum(t1y, t2y), jnp.maximum(t1z, t2z)))
-        hit = (tmax >= tmin) & (tmin > near)
-        t = jnp.where(hit, tmin, INF)
-        is_x = tmin == tminx
-        is_y = (~is_x) & (tmin == tminy)
-        nx = jnp.where(is_x, -jnp.sign(rdx), 0.0)
-        ny = jnp.where(is_y, -jnp.sign(rdy), 0.0)
-        nz = jnp.where(is_x | is_y, 0.0, -jnp.sign(rdz))
-        return t, nx, ny, nz
+        # ---- intersection routines (share the ray tile via closure) ----
+        # Slab tests take the hoisted o*i products (ox·rix etc. computed once per
+        # ray frame, not per row) — mirrors ops/raycast.py box_hit exactly so the
+        # backends stay arithmetically identical.
+        def aabb(lox, loy, loz, hix, hiy, hiz, oxix, oyiy, oziz,
+                 rdx, rdy, rdz, rix, riy, riz):
+            t1x = lox * rix - oxix
+            t2x = hix * rix - oxix
+            t1y = loy * riy - oyiy
+            t2y = hiy * riy - oyiy
+            t1z = loz * riz - oziz
+            t2z = hiz * riz - oziz
+            tminx = jnp.minimum(t1x, t2x)
+            tminy = jnp.minimum(t1y, t2y)
+            tminz = jnp.minimum(t1z, t2z)
+            tmin = jnp.maximum(tminx, jnp.maximum(tminy, tminz))
+            tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                               jnp.minimum(jnp.maximum(t1y, t2y), jnp.maximum(t1z, t2z)))
+            hit = (tmax >= tmin) & (tmin > near)
+            t = jnp.where(hit, tmin, INF)
+            is_x = tmin == tminx
+            is_y = (~is_x) & (tmin == tminy)
+            nx = jnp.where(is_x, -jnp.sign(rdx), 0.0)
+            ny = jnp.where(is_y, -jnp.sign(rdy), 0.0)
+            nz = jnp.where(is_x | is_y, 0.0, -jnp.sign(rdz))
+            return t, nx, ny, nz
 
-    exix = ex * ix
-    eyiy = ey * iy
-    eziz = ez * iz
+        exix = ex * ix
+        eyiy = ey * iy
+        eziz = ez * iz
 
-    def prim_aabb(a0, a1, a2, b0, b1, b2):
-        return aabb(a0, a1, a2, b0, b1, b2, exix, eyiy, eziz,
-                    dx, dy, dz, ix, iy, iz)
+        def prim_aabb(a0, a1, a2, b0, b1, b2):
+            return aabb(a0, a1, a2, b0, b1, b2, exix, eyiy, eziz,
+                        dx, dy, dz, ix, iy, iz)
 
-    def prim_ellipsoid(cx0, cy0, cz0, rx, ry, rz):
-        irx, iry, irz = 1.0 / rx, 1.0 / ry, 1.0 / rz
-        qx = (ex - cx0) * irx
-        qy = (ey - cy0) * iry
-        qz = (ez - cz0) * irz
-        ddx = dx * irx
-        ddy = dy * iry
-        ddz = dz * irz
-        a = ddx * ddx + ddy * ddy + ddz * ddz
-        b = qx * ddx + qy * ddy + qz * ddz
-        c0 = qx * qx + qy * qy + qz * qz - 1.0
-        disc = b * b - a * c0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t = (-b - sq) / jnp.maximum(a, 1e-12)
-        hit = (disc > 0) & (t > near)
-        t = jnp.where(hit, t, INF)
-        nx = (ex + t * dx - cx0) * irx * irx
-        ny = (ey + t * dy - cy0) * iry * iry
-        nz = (ez + t * dz - cz0) * irz * irz
-        inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-18)
-        return t, nx * inv, ny * inv, nz * inv
+        def prim_ellipsoid(cx0, cy0, cz0, rx, ry, rz):
+            irx, iry, irz = 1.0 / rx, 1.0 / ry, 1.0 / rz
+            qx = (ex - cx0) * irx
+            qy = (ey - cy0) * iry
+            qz = (ez - cz0) * irz
+            ddx = dx * irx
+            ddy = dy * iry
+            ddz = dz * irz
+            a = ddx * ddx + ddy * ddy + ddz * ddz
+            b = qx * ddx + qy * ddy + qz * ddz
+            c0 = qx * qx + qy * qy + qz * qz - 1.0
+            disc = b * b - a * c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = (-b - sq) / jnp.maximum(a, 1e-12)
+            hit = (disc > 0) & (t > near)
+            t = jnp.where(hit, t, INF)
+            nx = (ex + t * dx - cx0) * irx * irx
+            ny = (ey + t * dy - cy0) * iry * iry
+            nz = (ez + t * dz - cz0) * irz * irz
+            inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-18)
+            return t, nx * inv, ny * inv, nz * inv
 
-    def prim_cylinder(cx0, cy0, cz0, rx, rz, half_h):
-        qx = (ex - cx0) / rx
-        qz = (ez - cz0) / rz
-        ddx = dx / rx
-        ddz = dz / rz
-        a = ddx * ddx + ddz * ddz
-        b = qx * ddx + qz * ddz
-        c0 = qx * qx + qz * qz - 1.0
-        disc = b * b - a * c0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_side = (-b - sq) / jnp.maximum(a, 1e-12)
-        y_side = ey + t_side * dy - cy0
-        side_ok = (disc > 0) & (t_side > near) & (jnp.abs(y_side) <= half_h)
-        t_side = jnp.where(side_ok, t_side, INF)
+        def prim_cylinder(cx0, cy0, cz0, rx, rz, half_h):
+            qx = (ex - cx0) / rx
+            qz = (ez - cz0) / rz
+            ddx = dx / rx
+            ddz = dz / rz
+            a = ddx * ddx + ddz * ddz
+            b = qx * ddx + qz * ddz
+            c0 = qx * qx + qz * qz - 1.0
+            disc = b * b - a * c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_side = (-b - sq) / jnp.maximum(a, 1e-12)
+            y_side = ey + t_side * dy - cy0
+            side_ok = (disc > 0) & (t_side > near) & (jnp.abs(y_side) <= half_h)
+            t_side = jnp.where(side_ok, t_side, INF)
 
-        sign = -jnp.sign(dy)
-        cap_y = cy0 + sign * half_h
-        t_cap = (cap_y - ey) * iy
-        px = (ex + t_cap * dx - cx0) / rx
-        pz = (ez + t_cap * dz - cz0) / rz
-        cap_ok = (t_cap > near) & (px * px + pz * pz <= 1.0)
-        t_cap = jnp.where(cap_ok, t_cap, INF)
+            sign = -jnp.sign(dy)
+            cap_y = cy0 + sign * half_h
+            t_cap = (cap_y - ey) * iy
+            px = (ex + t_cap * dx - cx0) / rx
+            pz = (ez + t_cap * dz - cz0) / rz
+            cap_ok = (t_cap > near) & (px * px + pz * pz <= 1.0)
+            t_cap = jnp.where(cap_ok, t_cap, INF)
 
-        use_cap = t_cap < t_side
-        t = jnp.minimum(t_side, t_cap)
-        snx = (ex + t * dx - cx0) / (rx * rx)
-        snz = (ez + t * dz - cz0) / (rz * rz)
-        inv = jax.lax.rsqrt(snx * snx + snz * snz + 1e-18)
-        nx = jnp.where(use_cap, 0.0, snx * inv)
-        ny = jnp.where(use_cap, sign, 0.0)
-        nz = jnp.where(use_cap, 0.0, snz * inv)
-        return t, nx, ny, nz
+            use_cap = t_cap < t_side
+            t = jnp.minimum(t_side, t_cap)
+            snx = (ex + t * dx - cx0) / (rx * rx)
+            snz = (ez + t * dz - cz0) / (rz * rz)
+            inv = jax.lax.rsqrt(snx * snx + snz * snz + 1e-18)
+            nx = jnp.where(use_cap, 0.0, snx * inv)
+            ny = jnp.where(use_cap, sign, 0.0)
+            nz = jnp.where(use_cap, 0.0, snz * inv)
+            return t, nx, ny, nz
 
-    def prim_cone(cx0, cy0, cz0, rx, rz, half_h, s):
-        apex_y = cy0 + s * half_h
-        qx = (ex - cx0) / rx
-        qz = (ez - cz0) / rz
-        qy = (ey - apex_y) * s
-        ddx = dx / rx
-        ddz = dz / rz
-        ddy = dy * s
-        k = 1.0 / (2.0 * half_h)
-        a = ddx * ddx + ddz * ddz - (k * ddy) ** 2
-        b = qx * ddx + qz * ddz - k * k * qy * ddy
-        c0 = qx * qx + qz * qz - (k * qy) ** 2
-        disc = b * b - a * c0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        asafe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
-        t1 = (-b - sq) / asafe
-        t2 = (-b + sq) / asafe
+        def prim_cone(cx0, cy0, cz0, rx, rz, half_h, s):
+            apex_y = cy0 + s * half_h
+            qx = (ex - cx0) / rx
+            qz = (ez - cz0) / rz
+            qy = (ey - apex_y) * s
+            ddx = dx / rx
+            ddz = dz / rz
+            ddy = dy * s
+            k = 1.0 / (2.0 * half_h)
+            a = ddx * ddx + ddz * ddz - (k * ddy) ** 2
+            b = qx * ddx + qz * ddz - k * k * qy * ddy
+            c0 = qx * qx + qz * qz - (k * qy) ** 2
+            disc = b * b - a * c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            asafe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+            t1 = (-b - sq) / asafe
+            t2 = (-b + sq) / asafe
 
-        def ok(t):
-            yy = qy + t * ddy
-            return (disc > 0) & (t > near) & (yy <= 0) & (yy >= -2.0 * half_h)
+            def ok(t):
+                yy = qy + t * ddy
+                return (disc > 0) & (t > near) & (yy <= 0) & (yy >= -2.0 * half_h)
 
-        t_side = jnp.where(ok(t1), t1, jnp.where(ok(t2), t2, INF))
+            t_side = jnp.where(ok(t1), t1, jnp.where(ok(t2), t2, INF))
 
-        base_y = apex_y - s * 2.0 * half_h
-        t_cap = (base_y - ey) * iy
-        px = (ex + t_cap * dx - cx0) / rx
-        pz = (ez + t_cap * dz - cz0) / rz
-        cap_ok = (t_cap > near) & (px * px + pz * pz <= 1.0)
-        t_cap = jnp.where(cap_ok, t_cap, INF)
+            base_y = apex_y - s * 2.0 * half_h
+            t_cap = (base_y - ey) * iy
+            px = (ex + t_cap * dx - cx0) / rx
+            pz = (ez + t_cap * dz - cz0) / rz
+            cap_ok = (t_cap > near) & (px * px + pz * pz <= 1.0)
+            t_cap = jnp.where(cap_ok, t_cap, INF)
 
-        use_cap = t_cap < t_side
-        t = jnp.minimum(t_side, t_cap)
-        relx = ex + t * dx - cx0
-        rely = ey + t * dy - apex_y
-        relz = ez + t * dz - cz0
-        snx = relx / (rx * rx)
-        sny = -(k * k) * rely
-        snz = relz / (rz * rz)
-        inv = jax.lax.rsqrt(snx * snx + sny * sny + snz * snz + 1e-18)
-        nx = jnp.where(use_cap, 0.0, snx * inv)
-        ny = jnp.where(use_cap, -s, sny * inv)
-        nz = jnp.where(use_cap, 0.0, snz * inv)
-        return t, nx, ny, nz
+            use_cap = t_cap < t_side
+            t = jnp.minimum(t_side, t_cap)
+            relx = ex + t * dx - cx0
+            rely = ey + t * dy - apex_y
+            relz = ez + t * dz - cz0
+            snx = relx / (rx * rx)
+            sny = -(k * k) * rely
+            snz = relz / (rz * rz)
+            inv = jax.lax.rsqrt(snx * snx + sny * sny + snz * snz + 1e-18)
+            nx = jnp.where(use_cap, 0.0, snx * inv)
+            ny = jnp.where(use_cap, -s, sny * inv)
+            nz = jnp.where(use_cap, 0.0, snz * inv)
+            return t, nx, ny, nz
 
-    def prim_eyebox(cx0, cy0, cz0, byaw, bpitch):
-        cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
-        cpj, spj = jnp.cos(bpitch), jnp.sin(bpitch)
-        ox, oy, oz = ex - cx0, ey - cy0, ez - cz0
-        lx = cyj * ox - syj * oz
-        lz1 = syj * ox + cyj * oz
-        ly = cpj * oy + spj * lz1
-        lz = -spj * oy + cpj * lz1
-        dlx = cyj * dx - syj * dz
-        dlz1 = syj * dx + cyj * dz
-        dly = cpj * dy + spj * dlz1
-        dlz = -spj * dy + cpj * dlz1
-        eps2 = 1e-12
-        rix = 1.0 / jnp.where(jnp.abs(dlx) < eps2, eps2, dlx)
-        riy = 1.0 / jnp.where(jnp.abs(dly) < eps2, eps2, dly)
-        riz = 1.0 / jnp.where(jnp.abs(dlz) < eps2, eps2, dlz)
-        t, nlx, nly, nlz = aabb(
-            _EYE_OFFSET[0] - _EYE_HALF[0], _EYE_OFFSET[1] - _EYE_HALF[1], _EYE_OFFSET[2] - _EYE_HALF[2],
-            _EYE_OFFSET[0] + _EYE_HALF[0], _EYE_OFFSET[1] + _EYE_HALF[1], _EYE_OFFSET[2] + _EYE_HALF[2],
-            lx * rix, ly * riy, lz * riz, dlx, dly, dlz, rix, riy, riz,
-        )
-        wy = cpj * nly - spj * nlz
-        wz1 = spj * nly + cpj * nlz
-        wx = cyj * nlx + syj * wz1
-        wz = -syj * nlx + cyj * wz1
-        return t, wx, wy, wz
-
-    def prim_rotbox(cx0, cy0, cz0, byaw, hx, hy, hz):
-        cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
-        ox, oy, oz = ex - cx0, ey - cy0, ez - cz0
-        lx = cyj * ox - syj * oz
-        lz = syj * ox + cyj * oz
-        dlx = cyj * dx - syj * dz
-        dlz = syj * dx + cyj * dz
-        eps2 = 1e-12
-        rix = 1.0 / jnp.where(jnp.abs(dlx) < eps2, eps2, dlx)
-        riz = 1.0 / jnp.where(jnp.abs(dlz) < eps2, eps2, dlz)
-        t, nlx, nly, nlz = aabb(
-            -hx, -hy, -hz, hx, hy, hz,
-            lx * rix, oy * iy, lz * riz, dlx, dy, dlz, rix, iy, riz,
-        )
-        wx = cyj * nlx + syj * nlz
-        wz = -syj * nlx + cyj * nlz
-        return t, wx, nly, wz
-
-    # ---- primitive loop ----
-    def row_hit(i):
-        ptype = pload(i, 0).astype(jnp.int32)
-        a0 = pload(i, 1)
-        a1 = pload(i, 2)
-        a2 = pload(i, 3)
-        b0 = pload(i, 4)
-        b1 = pload(i, 5)
-        b2 = pload(i, 6)
-        c0_ = pload(i, 8)
-        c1_ = pload(i, 9)
-        c2_ = pload(i, 10)
-
-        t, nx, ny, nz = jax.lax.switch(
-            jnp.clip(ptype, 0, 6),
-            [
-                lambda: prim_aabb(a0, a1, a2, b0, b1, b2),
-                lambda: prim_ellipsoid(a0, a1, a2, b0, b1, b2),
-                lambda: prim_cylinder(a0, a1, a2, b0, b1, b2),
-                lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(1.0)),
-                lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(-1.0)),
-                lambda: prim_eyebox(a0, a1, a2, b0, b1),
-                lambda: prim_rotbox(a0, a1, a2, b0, c0_, c1_, c2_),
-            ],
-        )
-        return jnp.where(ptype >= 0, t, INF), nx, ny, nz
-
-    def row_hit_aabb(i):
-        # branch-free variant for clusters whose live rows are all AABBs
-        # (merged layout boxes — the dominant row population): same math as
-        # the switch's branch 0, so the image is bit-identical.
-        live = pload(i, 0) >= 0
-        t, nx, ny, nz = prim_aabb(
-            pload(i, 1), pload(i, 2), pload(i, 3),
-            pload(i, 4), pload(i, 5), pload(i, 6))
-        return jnp.where(live, t, INF), nx, ny, nz
-
-    def row_hit_rotbox(i):
-        # branch-free variant for all-ROTBOX clusters (hex maze walls)
-        live = pload(i, 0) >= 0
-        t, nx, ny, nz = prim_rotbox(
-            pload(i, 1), pload(i, 2), pload(i, 3),
-            pload(i, 4),
-            pload(i, 8), pload(i, 9), pload(i, 10))
-        return jnp.where(live, t, INF), nx, ny, nz
-
-    def make_body(hit_fn):
-        def body(i, carry):
-            bt, bnx, bny, bnz, bc = carry
-            t, nx, ny, nz = hit_fn(i)
-            closer = t < bt
-            return (
-                jnp.where(closer, t, bt),
-                jnp.where(closer, nx, bnx),
-                jnp.where(closer, ny, bny),
-                jnp.where(closer, nz, bnz),
-                jnp.where(closer, pload(i, 7), bc),
+        def prim_eyebox(cx0, cy0, cz0, byaw, bpitch):
+            cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
+            cpj, spj = jnp.cos(bpitch), jnp.sin(bpitch)
+            ox, oy, oz = ex - cx0, ey - cy0, ez - cz0
+            lx = cyj * ox - syj * oz
+            lz1 = syj * ox + cyj * oz
+            ly = cpj * oy + spj * lz1
+            lz = -spj * oy + cpj * lz1
+            dlx = cyj * dx - syj * dz
+            dlz1 = syj * dx + cyj * dz
+            dly = cpj * dy + spj * dlz1
+            dlz = -spj * dy + cpj * dlz1
+            eps2 = 1e-12
+            rix = 1.0 / jnp.where(jnp.abs(dlx) < eps2, eps2, dlx)
+            riy = 1.0 / jnp.where(jnp.abs(dly) < eps2, eps2, dly)
+            riz = 1.0 / jnp.where(jnp.abs(dlz) < eps2, eps2, dlz)
+            t, nlx, nly, nlz = aabb(
+                _EYE_OFFSET[0] - _EYE_HALF[0], _EYE_OFFSET[1] - _EYE_HALF[1], _EYE_OFFSET[2] - _EYE_HALF[2],
+                _EYE_OFFSET[0] + _EYE_HALF[0], _EYE_OFFSET[1] + _EYE_HALF[1], _EYE_OFFSET[2] + _EYE_HALF[2],
+                lx * rix, ly * riy, lz * riz, dlx, dly, dlz, rix, riy, riz,
             )
-        return body
+            wy = cpj * nly - spj * nlz
+            wz1 = spj * nly + cpj * nlz
+            wx = cyj * nlx + syj * wz1
+            wz = -syj * nlx + cyj * wz1
+            return t, wx, wy, wz
 
-    def make_body_tiebreak(hit_fn):
-        # Variant carrying the winning row index: ties (t == bt) resolve to
-        # the LOWEST row index, which is exactly what in-order traversal's
-        # strict `t < bt` produces — so any cluster traversal order yields
-        # the bit-identical image.
-        def body(i, carry):
-            bt, bidx, bnx, bny, bnz, bc = carry
-            t, nx, ny, nz = hit_fn(i)
-            ii = jnp.full_like(bidx, 0) + i
-            closer = (t < bt) | ((t == bt) & (ii < bidx))
-            return (
-                jnp.where(closer, t, bt),
-                jnp.where(closer, ii, bidx),
-                jnp.where(closer, nx, bnx),
-                jnp.where(closer, ny, bny),
-                jnp.where(closer, nz, bnz),
-                jnp.where(closer, pload(i, 7), bc),
+        def prim_rotbox(cx0, cy0, cz0, byaw, hx, hy, hz):
+            cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
+            ox, oy, oz = ex - cx0, ey - cy0, ez - cz0
+            lx = cyj * ox - syj * oz
+            lz = syj * ox + cyj * oz
+            dlx = cyj * dx - syj * dz
+            dlz = syj * dx + cyj * dz
+            eps2 = 1e-12
+            rix = 1.0 / jnp.where(jnp.abs(dlx) < eps2, eps2, dlx)
+            riz = 1.0 / jnp.where(jnp.abs(dlz) < eps2, eps2, dlz)
+            t, nlx, nly, nlz = aabb(
+                -hx, -hy, -hz, hx, hy, hz,
+                lx * rix, oy * iy, lz * riz, dlx, dy, dlz, rix, iy, riz,
             )
-        return body
+            wx = cyj * nlx + syj * nlz
+            wz = -syj * nlx + cyj * nlz
+            return t, wx, nly, wz
 
-    body = make_body(row_hit)
-    body_tiebreak = make_body_tiebreak(row_hit)
+        # ---- primitive loop ----
+        def row_hit(i):
+            ptype = pload(i, 0).astype(jnp.int32)
+            a0 = pload(i, 1)
+            a1 = pload(i, 2)
+            a2 = pload(i, 3)
+            b0 = pload(i, 4)
+            b1 = pload(i, 5)
+            b2 = pload(i, 6)
+            c0_ = pload(i, 8)
+            c1_ = pload(i, 9)
+            c2_ = pload(i, 10)
 
-    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    init = (zero + INF, zero, zero, zero, zero)
-    if cluster_k:
-        # Outer loop over clusters; the cluster AABB is slab-tested against
-        # the whole tile INCLUDING the current closest-hit depths, and the K
-        # per-row intersection routines run only if some ray could still
-        # produce a closer hit (frustum + occlusion culling in one test).
-        # With sorted_order, clusters are visited front-to-back per agent
-        # (order_ref from sort_clusters), so near geometry tightens the depth
-        # planes before far clusters are tested — most then skip outright.
-        def cluster_body(g, carry, maxt_in=None):
-            if sorted_order and not super_k:
-                g = (order_ref[0, 0, tile_row, g] if per_tile
-                     else order_ref[0, agent, g])
-            return cluster_body_at(g, carry, maxt_in)
+            t, nx, ny, nz = jax.lax.switch(
+                jnp.clip(ptype, 0, 6),
+                [
+                    lambda: prim_aabb(a0, a1, a2, b0, b1, b2),
+                    lambda: prim_ellipsoid(a0, a1, a2, b0, b1, b2),
+                    lambda: prim_cylinder(a0, a1, a2, b0, b1, b2),
+                    lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(1.0)),
+                    lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(-1.0)),
+                    lambda: prim_eyebox(a0, a1, a2, b0, b1),
+                    lambda: prim_rotbox(a0, a1, a2, b0, c0_, c1_, c2_),
+                ],
+            )
+            return jnp.where(ptype >= 0, t, INF), nx, ny, nz
 
-        def cluster_body_at(g, carry, maxt_in=None):
-            bt = carry[0]
-            lo0 = cload(g, 0)
-            lo1 = cload(g, 1)
-            lo2 = cload(g, 2)
-            hi0 = cload(g, 3)
-            hi1 = cload(g, 4)
-            hi2 = cload(g, 5)
-            t1x = lo0 * ix - exix
-            t2x = hi0 * ix - exix
-            t1y = lo1 * iy - eyiy
-            t2y = hi1 * iy - eyiy
-            t1z = lo2 * iz - eziz
-            t2z = hi2 * iz - eziz
-            tmin = jnp.maximum(jnp.minimum(t1x, t2x),
-                               jnp.maximum(jnp.minimum(t1y, t2y),
-                                           jnp.minimum(t1z, t2z)))
+        def row_hit_aabb(i):
+            # Branch-free DEFERRED-NORMAL variant for clusters whose live rows are
+            # all AABBs (merged layout boxes — the dominant row population): the
+            # slab test returns (t, face-axis code) and the normal never enters
+            # the loop carry — it is reconstructed ONCE per tile after the loop as
+            # -sign(d) on the coded axis, the exact expression the inline path
+            # evaluates per row, so the image is bit-identical while each row
+            # saves the 3-component normal computation and its carry selects.
+            live = pload(i, 0) >= 0
+            lox, loy, loz = pload(i, 1), pload(i, 2), pload(i, 3)
+            hix, hiy, hiz = pload(i, 4), pload(i, 5), pload(i, 6)
+            t1x = lox * ix - exix
+            t2x = hix * ix - exix
+            t1y = loy * iy - eyiy
+            t2y = hiy * iy - eyiy
+            t1z = loz * iz - eziz
+            t2z = hiz * iz - eziz
+            tminx = jnp.minimum(t1x, t2x)
+            tminy = jnp.minimum(t1y, t2y)
+            tminz = jnp.minimum(t1z, t2z)
+            tmin = jnp.maximum(tminx, jnp.maximum(tminy, tminz))
             tmax = jnp.minimum(jnp.maximum(t1x, t2x),
                                jnp.minimum(jnp.maximum(t1y, t2y),
                                            jnp.maximum(t1z, t2z)))
-            # No tmin > near condition: a camera inside the cluster AABB
-            # (tmin < 0) must still process it. The 0.01 slack absorbs float
-            # rounding between the slab products here and the per-type
-            # intersection routines (a quadric's true hit can land an ulp
-            # below the cluster entry); t <= far = 120, so the slack costs
-            # nothing in culling power but keeps culling bit-exact.
-            reachable = (tmax >= tmin) & (tmax > 0.0) & (tmin < bt + 0.01)
+            hit = (tmax >= tmin) & (tmin > near) & live
+            t = jnp.where(hit, tmin, INF)
+            code = jnp.where(tmin == tminx, jnp.int32(0),
+                             jnp.where(tmin == tminy, jnp.int32(1), jnp.int32(2)))
+            return t, code
 
-            mk = make_body_tiebreak if sorted_order else make_body
-            row_body = mk(row_hit)
-            row_body_aabb = mk(row_hit_aabb)
-            row_body_rot = mk(row_hit_rotbox)
+        def row_hit_rotbox(i):
+            # branch-free variant for all-ROTBOX clusters (hex maze walls)
+            live = pload(i, 0) >= 0
+            t, nx, ny, nz = prim_rotbox(
+                pload(i, 1), pload(i, 2), pload(i, 3),
+                pload(i, 4),
+                pload(i, 8), pload(i, 9), pload(i, 10))
+            return jnp.where(live, t, INF), nx, ny, nz
 
-            # One scalar switch decides skip / generic / homogeneous fast
-            # paths (all-AABB and all-ROTBOX clusters — merged layout boxes
-            # and hex maze walls — skip the per-row type dispatch;
-            # clusters_ref[...,6] tag from build_clusters).
-            tag = cload(g, 6).astype(jnp.int32)
+        # Carry layout: (bt, [bidx], bnx, bny, bnz, bcode, bc). bcode is the
+        # deferred-normal face-axis code (0/1/2) set by the all-AABB fast path;
+        # 3 means "normals live in bnx/bny/bnz" (generic and rotbox paths, and
+        # the sky init). The final normal is decoded once per tile.
+        CODE_DIRECT = jnp.int32(3)
 
-            def run(rb, c):
-                for j in range(cluster_k):
-                    c = rb(g * cluster_k + j, c)
-                if maxt_in is None:
-                    return c
-                return (jnp.max(c[0]), *c)
+        def make_body(hit_fn, aabb=False):
+            def body(i, carry):
+                bt, bnx, bny, bnz, bcode, bc = carry
+                if aabb:
+                    t, code = hit_fn(i)
+                    closer = t < bt
+                    return (
+                        jnp.where(closer, t, bt),
+                        bnx, bny, bnz,
+                        jnp.where(closer, code, bcode),
+                        jnp.where(closer, pload(i, 7), bc),
+                    )
+                t, nx, ny, nz = hit_fn(i)
+                closer = t < bt
+                return (
+                    jnp.where(closer, t, bt),
+                    jnp.where(closer, nx, bnx),
+                    jnp.where(closer, ny, bny),
+                    jnp.where(closer, nz, bnz),
+                    jnp.where(closer, CODE_DIRECT, bcode),
+                    jnp.where(closer, pload(i, 7), bc),
+                )
+            return body
 
-            skip = (lambda c: c) if maxt_in is None else (
-                lambda c: (maxt_in, *c))
-            branch = jnp.where(
-                jnp.any(reachable),
-                jnp.where(tag == PRIM_AABB, jnp.int32(2),
-                          jnp.where(tag == PRIM_ROTBOX, jnp.int32(3),
-                                    jnp.int32(1))),
-                jnp.int32(0))
-            return jax.lax.switch(branch, [
-                skip,
-                functools.partial(run, row_body),
-                functools.partial(run, row_body_aabb),
-                functools.partial(run, row_body_rot),
-            ], carry)
+        def make_body_tiebreak(hit_fn, aabb=False):
+            # Variant carrying the winning row index: ties (t == bt) resolve to
+            # the LOWEST row index, which is exactly what in-order traversal's
+            # strict `t < bt` produces — so any cluster traversal order yields
+            # the bit-identical image.
+            def body(i, carry):
+                bt, bidx, bnx, bny, bnz, bcode, bc = carry
+                if aabb:
+                    t, code = hit_fn(i)
+                    ii = jnp.full_like(bidx, 0) + i
+                    closer = (t < bt) | ((t == bt) & (ii < bidx))
+                    return (
+                        jnp.where(closer, t, bt),
+                        jnp.where(closer, ii, bidx),
+                        bnx, bny, bnz,
+                        jnp.where(closer, code, bcode),
+                        jnp.where(closer, pload(i, 7), bc),
+                    )
+                t, nx, ny, nz = hit_fn(i)
+                ii = jnp.full_like(bidx, 0) + i
+                closer = (t < bt) | ((t == bt) & (ii < bidx))
+                return (
+                    jnp.where(closer, t, bt),
+                    jnp.where(closer, ii, bidx),
+                    jnp.where(closer, nx, bnx),
+                    jnp.where(closer, ny, bny),
+                    jnp.where(closer, nz, bnz),
+                    jnp.where(closer, CODE_DIRECT, bcode),
+                    jnp.where(closer, pload(i, 7), bc),
+                )
+            return body
 
-        num_groups = num_prims // cluster_k
-        if super_k:
-            # Two-level culling: the per-tile front-to-back list is over
-            # SUPERclusters (super_k consecutive clusters, AABB from
-            # build_superclusters). One vector slab test per visited
-            # supercluster prunes super_k*cluster_k rows at once; members
-            # then run the normal per-cluster test + rows. List length (and
-            # the XLA sort feeding it) shrinks by super_k — the sort's cost
-            # is strongly superlinear in list length on TPU, so this is
-            # where the prep time goes. Early exit uses the supercluster
-            # distance bounds (lower bounds for every member hit).
-            num_super = num_clusters // super_k
+        body = make_body(row_hit)
 
-            def sc_body(state):
-                gpos, maxt = state[0], state[1]
-                carry = state[2:]
+        zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        izero = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+        init = (zero + INF, zero, zero, zero, izero + CODE_DIRECT, zero)
+        if cluster_k:
+            # Outer loop over clusters; the cluster AABB is slab-tested against
+            # the whole tile INCLUDING the current closest-hit depths, and the K
+            # per-row intersection routines run only if some ray could still
+            # produce a closer hit (frustum + occlusion culling in one test).
+            # With sorted_order, clusters are visited front-to-back per agent
+            # (order_ref from sort_clusters), so near geometry tightens the depth
+            # planes before far clusters are tested — most then skip outright.
+            def cluster_body(g, carry, maxt_in=None):
+                if sorted_order and not super_k:
+                    g = (order_ref[0, 0, tile_row, g] if per_tile
+                         else order_ref[0, agent, g])
+                return cluster_body_at(g, carry, maxt_in)
+
+            def cluster_body_at(g, carry, maxt_in=None):
                 bt = carry[0]
-                gsc = (order_ref[0, 0, tile_row, gpos] if per_tile
-                       else order_ref[0, agent, gpos])
-                lo0 = scload(gsc, 0)
-                lo1 = scload(gsc, 1)
-                lo2 = scload(gsc, 2)
-                hi0 = scload(gsc, 3)
-                hi1 = scload(gsc, 4)
-                hi2 = scload(gsc, 5)
+                lo0 = cload(g, 0)
+                lo1 = cload(g, 1)
+                lo2 = cload(g, 2)
+                hi0 = cload(g, 3)
+                hi1 = cload(g, 4)
+                hi2 = cload(g, 5)
                 t1x = lo0 * ix - exix
                 t2x = hi0 * ix - exix
                 t1y = lo1 * iy - eyiy
@@ -540,146 +514,241 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 tmax = jnp.minimum(jnp.maximum(t1x, t2x),
                                    jnp.minimum(jnp.maximum(t1y, t2y),
                                                jnp.maximum(t1z, t2z)))
-                # same slack reasoning as the member-cluster test; the SC
-                # AABB contains every member AABB, so this is conservative
+                # No tmin > near condition: a camera inside the cluster AABB
+                # (tmin < 0) must still process it. The 0.01 slack absorbs float
+                # rounding between the slab products here and the per-type
+                # intersection routines (a quadric's true hit can land an ulp
+                # below the cluster entry); t <= far = 120, so the slack costs
+                # nothing in culling power but keeps culling bit-exact.
                 reachable = (tmax >= tmin) & (tmax > 0.0) & (tmin < bt + 0.01)
 
-                def run_members(c):
-                    st = (maxt, *c)
-                    for j in range(super_k):
-                        st = cluster_body_at(gsc * super_k + j, st[1:],
-                                             maxt_in=st[0])
-                    return st
+                mk = make_body_tiebreak if sorted_order else make_body
+                row_body = mk(row_hit)
+                row_body_aabb = mk(row_hit_aabb, aabb=True)
+                row_body_rot = mk(row_hit_rotbox)
 
-                st = jax.lax.cond(jnp.any(reachable), run_members,
-                                  lambda c: (maxt, *c), carry)
-                return (gpos + 1, *st)
+                # One scalar switch decides skip / generic / homogeneous fast
+                # paths (all-AABB and all-ROTBOX clusters — merged layout boxes
+                # and hex maze walls — skip the per-row type dispatch;
+                # clusters_ref[...,6] tag from build_clusters).
+                tag = cload(g, 6).astype(jnp.int32)
 
-            def sc_cond(state):
-                gpos, maxt = state[0], state[1]
-                gi = jnp.minimum(gpos, num_super - 1)
-                d = (dist_ref[0, 0, tile_row, gi] if per_tile
-                     else dist_ref[0, agent, gi])
-                return (gpos < num_super) & (maxt >= d)
+                def run(rb, c):
+                    for j in range(cluster_k):
+                        c = rb(g * cluster_k + j, c)
+                    if maxt_in is None:
+                        return c
+                    return (jnp.max(c[0]), *c)
 
-            init_e = (jnp.int32(0),
-                      jnp.float32(C.CAMERA_FAR),
-                      zero + np.float32(C.CAMERA_FAR),
-                      jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
-                      *init[1:])
-            _, _, t, _, nx, ny, nz, cpk = jax.lax.while_loop(
-                sc_cond, sc_body, init_e)
-        elif sorted_order and early_exit:
-            # Early ray termination. Clusters arrive front-to-back and
-            # dist_ref[agent, g] is a lower bound on any hit distance from
-            # cluster order[g] (ascending). Once every ray in the tile has a
-            # hit STRICTLY closer than that bound, no remaining cluster can
-            # change any pixel: a new hit would satisfy
-            # t >= dist[g] > max(bt) >= bt, so `t < bt` is false and the
-            # tie-break `t == bt` is impossible. The depth carry starts at the
-            # far plane (not +INF) so sky tiles terminate once the remaining
-            # clusters are beyond the far plane; a hit at t >= far renders as
-            # sky either way (miss test is t >= far), so the image is
-            # bit-identical.
-            #
-            # The tile's max depth rides the loop state as a SCALAR, refreshed
-            # (one vector reduction) only when a cluster's rows actually ran —
-            # bt never changes otherwise, so the carried value stays exact and
-            # the loop condition is pure scalar work (no vector->scalar sync
-            # per skipped cluster).
-            init_e = (jnp.int32(0),
-                      jnp.float32(C.CAMERA_FAR),
-                      zero + np.float32(C.CAMERA_FAR),
-                      jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
-                      *init[1:])
+                skip = (lambda c: c) if maxt_in is None else (
+                    lambda c: (maxt_in, *c))
+                branch = jnp.where(
+                    jnp.any(reachable),
+                    jnp.where(tag == PRIM_AABB, jnp.int32(2),
+                              jnp.where(tag == PRIM_ROTBOX, jnp.int32(3),
+                                        jnp.int32(1))),
+                    jnp.int32(0))
+                return jax.lax.switch(branch, [
+                    skip,
+                    functools.partial(run, row_body),
+                    functools.partial(run, row_body_aabb),
+                    functools.partial(run, row_body_rot),
+                ], carry)
 
-            def w_cond(state):
-                g, maxt = state[0], state[1]
-                gi = jnp.minimum(g, num_groups - 1)
-                d = (dist_ref[0, 0, tile_row, gi] if per_tile
-                     else dist_ref[0, agent, gi])
-                return (g < num_groups) & (maxt >= d)
+            num_groups = num_prims // cluster_k
+            if super_k:
+                # Two-level culling: the per-tile front-to-back list is over
+                # SUPERclusters (super_k consecutive clusters, AABB from
+                # build_superclusters). One vector slab test per visited
+                # supercluster prunes super_k*cluster_k rows at once; members
+                # then run the normal per-cluster test + rows. List length (and
+                # the XLA sort feeding it) shrinks by super_k — the sort's cost
+                # is strongly superlinear in list length on TPU, so this is
+                # where the prep time goes. Early exit uses the supercluster
+                # distance bounds (lower bounds for every member hit).
+                num_super = num_clusters // super_k
 
-            def w_body(state):
-                g, maxt = state[0], state[1]
-                carry = cluster_body(g, state[2:], maxt_in=maxt)
-                return (g + 1, *carry)
+                def sc_body(state):
+                    gpos, maxt = state[0], state[1]
+                    carry = state[2:]
+                    bt = carry[0]
+                    gsc = (order_ref[0, 0, tile_row, gpos] if per_tile
+                           else order_ref[0, agent, gpos])
+                    lo0 = scload(gsc, 0)
+                    lo1 = scload(gsc, 1)
+                    lo2 = scload(gsc, 2)
+                    hi0 = scload(gsc, 3)
+                    hi1 = scload(gsc, 4)
+                    hi2 = scload(gsc, 5)
+                    t1x = lo0 * ix - exix
+                    t2x = hi0 * ix - exix
+                    t1y = lo1 * iy - eyiy
+                    t2y = hi1 * iy - eyiy
+                    t1z = lo2 * iz - eziz
+                    t2z = hi2 * iz - eziz
+                    tmin = jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.maximum(jnp.minimum(t1y, t2y),
+                                                   jnp.minimum(t1z, t2z)))
+                    tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                                       jnp.minimum(jnp.maximum(t1y, t2y),
+                                                   jnp.maximum(t1z, t2z)))
+                    # same slack reasoning as the member-cluster test; the SC
+                    # AABB contains every member AABB, so this is conservative
+                    reachable = (tmax >= tmin) & (tmax > 0.0) & (tmin < bt + 0.01)
 
-            _, _, t, _, nx, ny, nz, cpk = jax.lax.while_loop(
-                w_cond, w_body, init_e)
-        elif sorted_order:
-            init_s = (init[0], jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
-                      *init[1:])
-            t, _, nx, ny, nz, cpk = jax.lax.fori_loop(
-                0, num_groups, cluster_body, init_s)
+                    def run_members(c):
+                        st = (maxt, *c)
+                        for j in range(super_k):
+                            st = cluster_body_at(gsc * super_k + j, st[1:],
+                                                 maxt_in=st[0])
+                        return st
+
+                    st = jax.lax.cond(jnp.any(reachable), run_members,
+                                      lambda c: (maxt, *c), carry)
+                    return (gpos + 1, *st)
+
+                def sc_cond(state):
+                    gpos, maxt = state[0], state[1]
+                    gi = jnp.minimum(gpos, num_super - 1)
+                    d = (dist_ref[0, 0, tile_row, gi] if per_tile
+                         else dist_ref[0, agent, gi])
+                    return (gpos < num_super) & (maxt >= d)
+
+                init_e = (jnp.int32(0),
+                          jnp.float32(C.CAMERA_FAR),
+                          zero + np.float32(C.CAMERA_FAR),
+                          jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
+                          *init[1:])
+                _, _, t, _, nx, ny, nz, ncode, cpk = jax.lax.while_loop(
+                    sc_cond, sc_body, init_e)
+            elif sorted_order and early_exit:
+                # Early ray termination. Clusters arrive front-to-back and
+                # dist_ref[agent, g] is a lower bound on any hit distance from
+                # cluster order[g] (ascending). Once every ray in the tile has a
+                # hit STRICTLY closer than that bound, no remaining cluster can
+                # change any pixel: a new hit would satisfy
+                # t >= dist[g] > max(bt) >= bt, so `t < bt` is false and the
+                # tie-break `t == bt` is impossible. The depth carry starts at the
+                # far plane (not +INF) so sky tiles terminate once the remaining
+                # clusters are beyond the far plane; a hit at t >= far renders as
+                # sky either way (miss test is t >= far), so the image is
+                # bit-identical.
+                #
+                # The tile's max depth rides the loop state as a SCALAR, refreshed
+                # (one vector reduction) only when a cluster's rows actually ran —
+                # bt never changes otherwise, so the carried value stays exact and
+                # the loop condition is pure scalar work (no vector->scalar sync
+                # per skipped cluster).
+                init_e = (jnp.int32(0),
+                          jnp.float32(C.CAMERA_FAR),
+                          zero + np.float32(C.CAMERA_FAR),
+                          jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
+                          *init[1:])
+
+                def w_cond(state):
+                    g, maxt = state[0], state[1]
+                    gi = jnp.minimum(g, num_groups - 1)
+                    d = (dist_ref[0, 0, tile_row, gi] if per_tile
+                         else dist_ref[0, agent, gi])
+                    return (g < num_groups) & (maxt >= d)
+
+                def w_body(state):
+                    g, maxt = state[0], state[1]
+                    carry = cluster_body(g, state[2:], maxt_in=maxt)
+                    return (g + 1, *carry)
+
+                _, _, t, _, nx, ny, nz, ncode, cpk = jax.lax.while_loop(
+                    w_cond, w_body, init_e)
+            elif sorted_order:
+                init_s = (init[0], jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
+                          *init[1:])
+                t, _, nx, ny, nz, ncode, cpk = jax.lax.fori_loop(
+                    0, num_groups, cluster_body, init_s)
+            else:
+                t, nx, ny, nz, ncode, cpk = jax.lax.fori_loop(
+                    0, num_groups, cluster_body, init)
         else:
-            t, nx, ny, nz, cpk = jax.lax.fori_loop(
-                0, num_groups, cluster_body, init)
+            t, nx, ny, nz, ncode, cpk = jax.lax.fori_loop(0, num_prims, body, init)
+
+        # decode deferred AABB normals: -sign(d) on the coded face axis — the
+        # exact per-row expression of the inline path, evaluated once per tile.
+        aabb_win = ncode < CODE_DIRECT
+        nx = jnp.where(aabb_win, jnp.where(ncode == 0, -jnp.sign(dx), 0.0), nx)
+        ny = jnp.where(aabb_win, jnp.where(ncode == 1, -jnp.sign(dy), 0.0), ny)
+        nz = jnp.where(aabb_win, jnp.where(ncode == 2, -jnp.sign(dz), 0.0), nz)
+
+        # unpack the carried albedo once per tile (f32(k)/255 == palette entry)
+        pk = cpk.astype(jnp.int32)
+        cr = ((pk >> 16) & 0xFF).astype(jnp.float32) / 255.0
+        cg = ((pk >> 8) & 0xFF).astype(jnp.float32) / 255.0
+        cb = (pk & 0xFF).astype(jnp.float32) / 255.0
+
+        # ---- shading (Blinn-Phong, light (0,4,2) x 0.66, shininess 300) ----
+        px = ex + t * dx
+        py = ey + t * dy
+        pz = ez + t * dz
+        lx = C.LIGHT_POSITION[0] - px
+        ly = C.LIGHT_POSITION[1] - py
+        lz = C.LIGHT_POSITION[2] - pz
+        inv = jax.lax.rsqrt(lx * lx + ly * ly + lz * lz + 1e-12)
+        lx, ly, lz = lx * inv, ly * inv, lz * inv
+        ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+        hx, hy, hz = lx - dx, ly - dy, lz - dz
+        inv_h = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-12)
+        ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0) * inv_h
+        spec = pow_shininess(ndh)
+
+        lc = np.float32(C.LIGHT_COLOR[0])
+        diff = 0.3 + ndl * lc
+        sp_term = spec * lc
+        miss = t >= C.CAMERA_FAR
+        r = jnp.where(miss, C.SKY_COLOR[0], cr * diff + sp_term)
+        g = jnp.where(miss, C.SKY_COLOR[1], cg * diff + sp_term)
+        b = jnp.where(miss, C.SKY_COLOR[2], cb * diff + sp_term)
+
+        # ---- HUD time bar (scenario_default.hpp:140-145, 164-169) ----
+        bar_half_u = 0.24 * time_frac / (0.2 * tan_h)
+        bar_v = np.float32(-0.131 / (0.2 * tan_v))
+        bar_half_v = np.float32(0.0015 / (0.2 * tan_v))
+        uu = (cols + 0.5) / width * 2.0 - 1.0
+        vv = 1.0 - (rowf + 0.5) / height * 2.0
+        in_bar = (jnp.abs(uu) <= bar_half_u) & (jnp.abs(vv - bar_v) <= bar_half_v)
+        bar = C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0])
+        r = jnp.where(in_bar, np.float32(bar[0]), r)
+        g = jnp.where(in_bar, np.float32(bar[1]), g)
+        b = jnp.where(in_bar, np.float32(bar[2]), b)
+
+        if ui_indicators:
+            # Reward indicator quads (scenario_default.hpp:147-162, 171-186):
+            # GREEN at camera x=-0.23 while lastReward>eps, RED at +0.23 while
+            # <-eps; half extents (0.06, 0.04*|lastReward|). Same 2D compositing
+            # as ops/raycast._hud_planes so backends stay bit-identical.
+            lr = cam_ref[0, agent, 6]
+            feps = np.float32(1.19209290e-07)
+            ind_half_u = np.float32(0.06 / (0.2 * tan_h))
+            ind_cu = np.float32(0.23 / (0.2 * tan_h))
+            half_v = 0.04 * jnp.abs(lr) / np.float32(0.2 * tan_v)
+            in_v_ind = jnp.abs(vv) <= half_v
+            pos_m = (lr > feps) & (jnp.abs(uu + ind_cu) <= ind_half_u) & in_v_ind
+            neg_m = (lr < -feps) & (jnp.abs(uu - ind_cu) <= ind_half_u) & in_v_ind
+            green = C.PALETTE[C.COLOR_IDX["GREEN"]] * (0.3 + C.LIGHT_COLOR[0])
+            red = C.PALETTE[C.COLOR_IDX["RED"]] * (0.3 + C.LIGHT_COLOR[0])
+            r = jnp.where(pos_m, np.float32(green[0]), jnp.where(neg_m, np.float32(red[0]), r))
+            g = jnp.where(pos_m, np.float32(green[1]), jnp.where(neg_m, np.float32(red[1]), g))
+            b = jnp.where(pos_m, np.float32(green[2]), jnp.where(neg_m, np.float32(red[2]), b))
+
+        to8 = lambda c: jnp.clip(c * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+        packed = (to8(r) << 16) | (to8(g) << 8) | to8(b)
+        if merge_tiles:
+            out_ref[0, 0, pl.ds(tile_row * TILE_H, TILE_H), :] = packed
+        else:
+            out_ref[0, 0] = packed
+
+    if merge_tiles:
+        jax.lax.fori_loop(0, height // TILE_H,
+                          lambda t, c: (_tile(t), 0)[1], 0)
     else:
-        t, nx, ny, nz, cpk = jax.lax.fori_loop(0, num_prims, body, init)
-
-    # unpack the carried albedo once per tile (f32(k)/255 == palette entry)
-    pk = cpk.astype(jnp.int32)
-    cr = ((pk >> 16) & 0xFF).astype(jnp.float32) / 255.0
-    cg = ((pk >> 8) & 0xFF).astype(jnp.float32) / 255.0
-    cb = (pk & 0xFF).astype(jnp.float32) / 255.0
-
-    # ---- shading (Blinn-Phong, light (0,4,2) x 0.66, shininess 300) ----
-    px = ex + t * dx
-    py = ey + t * dy
-    pz = ez + t * dz
-    lx = C.LIGHT_POSITION[0] - px
-    ly = C.LIGHT_POSITION[1] - py
-    lz = C.LIGHT_POSITION[2] - pz
-    inv = jax.lax.rsqrt(lx * lx + ly * ly + lz * lz + 1e-12)
-    lx, ly, lz = lx * inv, ly * inv, lz * inv
-    ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
-    hx, hy, hz = lx - dx, ly - dy, lz - dz
-    inv_h = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-12)
-    ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0) * inv_h
-    spec = pow_shininess(ndh)
-
-    lc = np.float32(C.LIGHT_COLOR[0])
-    diff = 0.3 + ndl * lc
-    sp_term = spec * lc
-    miss = t >= C.CAMERA_FAR
-    r = jnp.where(miss, C.SKY_COLOR[0], cr * diff + sp_term)
-    g = jnp.where(miss, C.SKY_COLOR[1], cg * diff + sp_term)
-    b = jnp.where(miss, C.SKY_COLOR[2], cb * diff + sp_term)
-
-    # ---- HUD time bar (scenario_default.hpp:140-145, 164-169) ----
-    bar_half_u = 0.24 * time_frac / (0.2 * tan_h)
-    bar_v = np.float32(-0.131 / (0.2 * tan_v))
-    bar_half_v = np.float32(0.0015 / (0.2 * tan_v))
-    uu = (cols + 0.5) / width * 2.0 - 1.0
-    vv = 1.0 - (rowf + 0.5) / height * 2.0
-    in_bar = (jnp.abs(uu) <= bar_half_u) & (jnp.abs(vv - bar_v) <= bar_half_v)
-    bar = C.PALETTE[C.COLOR_IDX["BLUE"]] * (0.3 + C.LIGHT_COLOR[0])
-    r = jnp.where(in_bar, np.float32(bar[0]), r)
-    g = jnp.where(in_bar, np.float32(bar[1]), g)
-    b = jnp.where(in_bar, np.float32(bar[2]), b)
-
-    if ui_indicators:
-        # Reward indicator quads (scenario_default.hpp:147-162, 171-186):
-        # GREEN at camera x=-0.23 while lastReward>eps, RED at +0.23 while
-        # <-eps; half extents (0.06, 0.04*|lastReward|). Same 2D compositing
-        # as ops/raycast._hud_planes so backends stay bit-identical.
-        lr = cam_ref[0, agent, 6]
-        feps = np.float32(1.19209290e-07)
-        ind_half_u = np.float32(0.06 / (0.2 * tan_h))
-        ind_cu = np.float32(0.23 / (0.2 * tan_h))
-        half_v = 0.04 * jnp.abs(lr) / np.float32(0.2 * tan_v)
-        in_v_ind = jnp.abs(vv) <= half_v
-        pos_m = (lr > feps) & (jnp.abs(uu + ind_cu) <= ind_half_u) & in_v_ind
-        neg_m = (lr < -feps) & (jnp.abs(uu - ind_cu) <= ind_half_u) & in_v_ind
-        green = C.PALETTE[C.COLOR_IDX["GREEN"]] * (0.3 + C.LIGHT_COLOR[0])
-        red = C.PALETTE[C.COLOR_IDX["RED"]] * (0.3 + C.LIGHT_COLOR[0])
-        r = jnp.where(pos_m, np.float32(green[0]), jnp.where(neg_m, np.float32(red[0]), r))
-        g = jnp.where(pos_m, np.float32(green[1]), jnp.where(neg_m, np.float32(red[1]), g))
-        b = jnp.where(pos_m, np.float32(green[2]), jnp.where(neg_m, np.float32(red[2]), b))
-
-    to8 = lambda c: jnp.clip(c * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
-    out_ref[0, 0] = (to8(r) << 16) | (to8(g) << 8) | to8(b)
+        _tile(pl.program_id(2))
 
 
 def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
@@ -688,7 +757,8 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                   dist: jax.Array | None = None,
                   interpret: bool = False,
                   ui_indicators: bool = False,
-                  sclusters: jax.Array | None = None) -> jax.Array:
+                  sclusters: jax.Array | None = None,
+                  merge_tiles: bool = False) -> jax.Array:
     """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W].
 
     With `clusters` [B, M // CLUSTER_K, 8] (from build_clusters, which also
@@ -793,7 +863,30 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
         per_tile=per_tile, prim_flat=prim_flat, ui_indicators=ui_indicators,
         super_k=super_k,
         num_clusters=clusters.shape[1] if clusters is not None else 0,
+        merge_tiles=merge_tiles,
     )
+    if merge_tiles:
+        # One program per (env, agent): the kernel loops the tile rows
+        # internally, amortizing per-program setup + block DMA. Index maps
+        # drop the h coordinate; the out block is the whole frame.
+        in_specs = [
+            pl.BlockSpec(sp.block_shape,
+                         functools.partial(lambda im, b, a: im(b, a, 0),
+                                           sp.index_map),
+                         memory_space=sp.memory_space)
+            for sp in in_specs
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, num_agents),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, height, width),
+                                   lambda b, a: (b, a, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bsz, num_agents, height, width),
+                                           jnp.int32),
+            interpret=interpret,
+        )(*inputs)
     return pl.pallas_call(
         kernel,
         grid=(bsz, num_agents, height // TILE_H),

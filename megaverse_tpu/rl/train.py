@@ -134,7 +134,7 @@ class _Task:
         return self._hw_props > self.bucket[1]
 
     def gen_batch(self, idx):
-        scenes = [self.scenario.generate(self.gens[i]) for i in idx]
+        scenes = [self.scenario.generate_checked(self.gens[i]) for i in idx]
         for sc in scenes:
             self._hw_boxes = max(
                 self._hw_boxes, int((np.asarray(sc.box_color) > 0).sum()))

@@ -42,6 +42,12 @@ from megaverse_tpu.types import (
 # Host-side scene builder.
 # ---------------------------------------------------------------------------
 
+class LayoutOverflow(ValueError):
+    """A generated layout's merged-box count exceeded the scenario's static
+    render capacity (an artifact of fixed-shape device tables; the reference
+    has no such cap). Callers regenerate from the same stream."""
+
+
 class HostScene:
     """Mutable numpy scene under construction; `finish()` -> SceneData arrays.
 
@@ -216,7 +222,7 @@ class HostScene:
         boxes += self.extra_boxes
         boxes = _morton_sort_boxes(boxes)
         if len(boxes) > max_boxes:
-            raise ValueError(
+            raise LayoutOverflow(
                 f"scene has {len(boxes)} render boxes > max_boxes={max_boxes} "
                 f"({self.cfg.scenario_name})"
             )
@@ -418,6 +424,22 @@ class Scenario:
     # -- generation (host) --------------------------------------------------
     def generate(self, rng: np.random.Generator) -> SceneData:
         raise NotImplementedError
+
+    def generate_checked(self, rng, ref_stream: bool = False) -> SceneData:
+        """generate() with bounded regeneration on capacity overflow — the
+        analogue of the reference's layout-retry loops
+        (scenario_obstacles.cpp:69-161). The reference has no box capacity,
+        so an overflow is an artifact of our fixed-shape tables; regenerating
+        advances the env's stream deterministically (PARITY.md deviation #3).
+        """
+        last = None
+        for _ in range(20):
+            try:
+                return (self.generate_ref(rng) if ref_stream
+                        else self.generate(rng))
+            except LayoutOverflow as e:
+                last = e
+        raise last
 
     # Scenarios overriding generate_ref replicate the reference engine's
     # exact per-episode draw ORDER from its mt19937 stream (see

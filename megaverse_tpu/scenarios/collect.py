@@ -55,7 +55,7 @@ class CollectState(struct.PyTreeNode):
 
 class CollectScenario(Scenario):
     name = "Collect"
-    max_boxes = 768
+    max_boxes = 1024
     # typed prop regions: movable boxes | diamond cones (two per diamond)
     prop_segments = ((C.PROP_BOX, OBJ_MAX), (C.PROP_CONE, 2 * R_MAX))
     needs_object_grid = True  # pick/place stacking

@@ -423,8 +423,8 @@ class VectorEnv:
 
             # per-episode reseed (env.cpp:61-63) then reference-order draws
             episode_reseed(self._gens[i])
-            return self.scenario.generate_ref(self._gens[i])
-        return self.scenario.generate(self._gens[i])
+            return self.scenario.generate_checked(self._gens[i], ref_stream=True)
+        return self.scenario.generate_checked(self._gens[i])
 
     def _pop_scene(self, i: int):
         """Next layout for env i: prefetched if available, inline otherwise.

@@ -12,7 +12,14 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # env var is ignored in-container
+
+from megaverse_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 
@@ -53,15 +60,13 @@ def main():
     p.add_argument("--num_agents", type=int, default=1)
     args = p.parse_args()
 
-    import jax
     from megaverse_tpu.vector_env import VectorEnv
     from megaverse_tpu.ops import raycast_pallas as RP
     from megaverse_tpu import constants as C
 
     env = VectorEnv(args.scenario, num_envs=args.num_envs,
-                    num_agents_per_env=args.num_agents, seed=7)
+                    num_agents_per_env=args.num_agents, seed=7, render=False)
     env.reset()
-    env.flush()
     states = env.state
     cfg = env.scenario.cfg
     h, w = cfg.obs_height, cfg.obs_width
@@ -81,6 +86,11 @@ def main():
 
     M = prims.shape[1]
     G = clusters.shape[1]
+    if M < G * 4:  # build_clusters pads rows to a multiple of CLUSTER_K,
+        pad = np.zeros((prims.shape[0], G * 4 - M, prims.shape[2]), prims.dtype)
+        pad[..., 0] = -1.0
+        prims = np.concatenate([prims, pad], axis=1)
+        M = G * 4
     S = sclusters.shape[1]
     live = prims[..., 0] >= 0
     print(f"{args.scenario}: table rows={M} (live mean {live.sum(1).mean():.0f} "
@@ -98,14 +108,6 @@ def main():
             d = ray_dirs(h, w, agents_yaw[b, a], agents_pitch[b, a],
                          C.CAMERA_FOV_DEG)  # [h,w,3]
             dr = d.reshape(-1, 3)
-            rlive = live[b]
-            lo = np.where(rlive[:, None], np.where(
-                prims[b, :, 0] == 0, prims[b, :, 1:4], clusters[b].repeat(0, 0)[:0] if False else prims[b, :, 1:4]), np.inf)
-            # per-row conservative AABB from the cluster builder's logic:
-            # reuse cluster AABBs at row granularity is complex; use k=1
-            # clusters by calling build_clusters with k=1 would need jax; do
-            # boxes only (type==0) exactly and skip others for row stats.
-            # Simpler: row reach stats via each row's own cluster.
             tmin_c, tmax_c = slab(eye, dr, clusters[b, :, 0:3], clusters[b, :, 3:6])
             tmin_s, tmax_s = slab(eye, dr, sclusters[b, :, 0:3], sclusters[b, :, 3:6])
             # exact closest hit over AABB rows (type 0) for depth bound

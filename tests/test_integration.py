@@ -129,3 +129,23 @@ def test_step_many_scan_packed_and_rgb():
                 assert obs.shape == (2, 1, 72, 128, 3)
     finally:
         os.environ.pop("MEGAVERSE_SCAN_STEPS", None)
+
+
+def test_bench_fence_checksum_is_data_dependent():
+    """The bench timing fence fetches the step_many checksum VALUE
+    (bench.py): that is a sound fence only if the scalar is data-dependent
+    on the chunk's final observations (whose state chain covers every step),
+    so its concrete value cannot exist before the device work finished.
+    Verify the dependency: the checksum equals the final frame's int32 sum,
+    and stepping further changes it with the frame."""
+    from megaverse_tpu.vector_env import VectorEnv
+
+    env = VectorEnv("Empty", num_envs=2, num_agents_per_env=1, seed=3)
+    env.reset()
+    pool = np.full((2, 2, 1), 0, np.int32)
+    pool[0] = 2  # forward bit pattern varies frames between steps
+    obs, dones, csums = env.step_many(pool, 3)
+    assert int(csums[-1]) == int(np.sum(np.asarray(obs), dtype=np.int32))
+    obs2, _, csums2 = env.step_many(pool, 3)
+    assert int(csums2[-1]) == int(np.sum(np.asarray(obs2), dtype=np.int32))
+    env.close()
