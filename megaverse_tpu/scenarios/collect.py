@@ -71,7 +71,6 @@ class CollectScenario(Scenario):
 
     # ------------------------------------------------------------- generate
     def generate(self, rng: np.random.Generator) -> SceneData:
-        scene = HostScene(self.cfg)
         land_color = int(rng.choice(_LANDSCAPE_COLORS))
         floor_color = int(rng.choice(_FLOOR_COLORS))
 
@@ -96,17 +95,6 @@ class CollectScenario(Scenario):
 
         spawn_height = np.ones((length, width), np.int64)
         spawn_height[1:length - 1, 1:width - 1] = np.where(heights > 0, heights + 1, 1)
-
-        # terrain voxels (solid columns 1..h)
-        ymax = int(heights.max()) if heights.size else 0
-        for y in range(1, ymax + 1):
-            mask = heights >= y
-            xs_f, zs_f = np.nonzero(mask)
-            scene.vtype[xs_f + 1, y, zs_f + 1] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
-            scene.vcolor[xs_f + 1, y, zs_f + 1] = land_color
-        # floor (y = 0)
-        scene.vtype[:length, 0, :width] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
-        scene.vcolor[:length, 0, :width] = floor_color
 
         # spawn positions: interior cells at their column tops, shuffled
         sp = np.stack([gx.ravel(), spawn_height[1:length - 1, 1:width - 1].ravel(), gz.ravel()], 1)
@@ -140,11 +128,120 @@ class CollectScenario(Scenario):
                           len(rest), OBJ_MAX)
         object_cells = rest[:num_objects]
 
+        yaws = np.asarray([rng.random() * 2.0 * np.pi for _ in range(a)],
+                          np.float32)
+        reward_good = np.asarray([rng.random() > 0.3 for _ in range(len(reward_cells))])
+        return self._build(land_color, floor_color, width, length, heights,
+                           agent_cells, reward_cells, object_cells,
+                           reward_good, yaws)
+
+    supports_ref_stream = True
+
+    def generate_ref(self, rng) -> SceneData:
+        """Reference draw order (createLandscape, scenario_collect.cpp:35-143;
+        then spawnAgents yaws, then per-reward good/bad frand draws in
+        addEpisodeDrawables, cpp:184-212). Heights reproduce the C++ exactly:
+        bit-exact siv Perlin (utils/refperlin.py), f32 groundLevel chain,
+        lround via exact floor/frac decomposition; the unstable
+        sort-by-height uses the libstdc++ introsort replica
+        (utils/refsort.py), the spawn shuffles the std::shuffle replica."""
+        from megaverse_tpu.utils.refperlin import SivPerlin
+        from megaverse_tpu.utils.refrng import ref_spawn_yaw
+        from megaverse_tpu.utils.refsort import std_sort
+
+        land_color = _LANDSCAPE_COLORS[rng.rand_range(0, len(_LANDSCAPE_COLORS))]
+        floor_color = _FLOOR_COLORS[rng.rand_range(0, len(_FLOOR_COLORS))]
+        width = rng.rand_range(8, MAX_W)
+        length = rng.rand_range(8, MAX_W)
+        frequency = float(rng.rand_range(1, 100)) / 10.0
+        octaves = rng.rand_range(1, 10)
+        noise_seed = rng.rand_range(0, 1_000_000_000)
+        perlin = SivPerlin(noise_seed)
+        fx = MAX_W / frequency
+        fz = MAX_W / frequency
+        intensity = rng.rand_range(5, 18)
+        # float chain: frand * 0.5f + 0.2f (f32), promoted to double below
+        gl = float(np.float32(np.float32(rng.frand()) * np.float32(0.5))
+                   + np.float32(0.2))
+
+        xs = np.arange(1, length - 1, dtype=np.int64)
+        zs = np.arange(1, width - 1, dtype=np.int64)
+        gx, gz = np.meshgrid(xs, zs, indexing="ij")
+        noise = perlin.accumulated_octave_2d_0_1(gx / fx, gz / fz, octaves)
+        ycoord = intensity * (noise - gl)
+        # lround for positive doubles without the floor(x+0.5) rounding trap
+        yfloor = np.floor(ycoord)
+        yround = (yfloor + (ycoord - yfloor >= 0.5)).astype(np.int64)
+        heights = np.where(ycoord >= 1, yround, 0)
+
+        spawn_height = np.ones((length, width), np.int64)
+        spawn_height[1:length - 1, 1:width - 1] = np.where(heights > 0, heights + 1, 1)
+
+        # x-major interior cell list, std::shuffle'd (cpp:101-109)
+        sp = [(int(x), int(spawn_height[x, z]), int(z))
+              for x in range(1, length - 1) for z in range(1, width - 1)]
+        rng.shuffle(sp)
+
+        a = self.num_agents
+        agent_cells = np.asarray(sp[:a], np.int64)
+        offset = a
+
+        wl = 0.05 * width * length
+        fl = np.floor(wl)
+        num_rewards = rng.rand_range(1, int(fl + (wl - fl >= 0.5)) + 2)
+        num_rewards = min(num_rewards, len(sp) - offset)
+        n_random = max(num_rewards // 2, 1)
+        reward_cells = list(sp[offset:offset + n_random])
+        offset += n_random
+
+        # unstable sort-by-height desc over the TAIL (cpp:124-132)
+        tail = sp[offset:]
+        std_sort(tail, lambda p0, p1: p0[1] > p1[1])
+        sp[offset:] = tail
+        n_peak = num_rewards - n_random
+        reward_cells += sp[offset:offset + n_peak]
+        offset += n_peak
+
+        tail = sp[offset:]
+        rng.shuffle(tail)
+        sp[offset:] = tail
+        objects_min = max(3, int(length * width * 0.04))
+        wl7 = 0.07 * width * length
+        fl7 = np.floor(wl7)
+        objects_max = min(objects_min + 1, int(fl7 + (wl7 - fl7 >= 0.5)) + 2)
+        num_objects = min(rng.rand_range(objects_min, max(objects_max, objects_min + 1)),
+                          len(sp) - offset)
+        # STRICT < (cpp:139): an exactly-exhausting object count spawns none
+        object_cells = (np.asarray(sp[offset:offset + num_objects], np.int64)
+                        if offset + num_objects < len(sp)
+                        else np.zeros((0, 3), np.int64))
+
+        yaws = np.asarray([ref_spawn_yaw(rng) for _ in range(a)], np.float32)
+        reward_good = np.asarray(
+            [np.float32(rng.frand()) > np.float32(0.3) for _ in reward_cells])
+        return self._build(land_color, floor_color, width, length, heights,
+                           agent_cells, np.asarray(reward_cells, np.int64).reshape(-1, 3),
+                           object_cells, reward_good, yaws)
+
+    def _build(self, land_color, floor_color, width, length, heights,
+               agent_cells, reward_cells, object_cells, reward_good, yaws):
+        scene = HostScene(self.cfg)
+        # terrain voxels (solid columns 1..h)
+        ymax = int(heights.max()) if heights.size else 0
+        for y in range(1, ymax + 1):
+            mask = heights >= y
+            xs_f, zs_f = np.nonzero(mask)
+            scene.vtype[xs_f + 1, y, zs_f + 1] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
+            scene.vcolor[xs_f + 1, y, zs_f + 1] = land_color
+        # floor (y = 0)
+        scene.vtype[:length, 0, :width] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
+        scene.vcolor[:length, 0, :width] = floor_color
+
         # agents
-        scene.spawn_agents_at(agent_cells.astype(np.float64), rng)
+        scene.spawn_agents_at(np.asarray(agent_cells, np.float64), None, yaws=yaws)
 
         # movable boxes
-        for cell in object_cells:
+        for cell in np.asarray(object_cells, np.int64)[:OBJ_MAX]:
             scene.add_movable_box(cell)
 
         # reward diamonds (addEpisodeDrawables, scenario_collect.cpp:180-212)
@@ -153,9 +250,10 @@ class CollectScenario(Scenario):
         reward_prop = np.zeros((R_MAX,), np.int32)
         reward_active = np.zeros((R_MAX,), bool)
         num_positive = 0
+        reward_cells = np.asarray(reward_cells, np.int64)[:R_MAX]
         for i, cell in enumerate(reward_cells):
             pos = cell.astype(np.float64) + np.array([0.5, 0.8, 0.5])
-            if rng.random() > 0.3:
+            if reward_good[i]:
                 val, color = 1.0, C.COLOR_IDX["GREEN"]
                 num_positive += 1
             else:

@@ -140,34 +140,13 @@ class Rng(MT19937):
 
     # -- std::shuffle (stl_algo.h:3693-3762) ---------------------------------
     def shuffle(self, seq: MutableSequence) -> None:
-        """In-place libstdc++ std::shuffle.
+        """In-place libstdc++ std::shuffle over this mt19937.
 
         For n*n <= 2^32-1 (every megaverse use), libstdc++ swaps elements in
         PAIRS, drawing one uniform_int over swap_range*(swap_range+1) per
         pair (__gen_two_uniform_ints); an even n does element 1 up front with
         a {0,1} draw."""
-        n = len(seq)
-        if n <= 1:
-            return
-        if _U32 // n >= n:
-            i = 1
-            if n % 2 == 0:
-                j = self.uniform_int(0, 1)
-                seq[i], seq[j] = seq[j], seq[i]
-                i += 1
-            while i < n:
-                swap_range = i + 1
-                b0, b1 = swap_range, swap_range + 1
-                x = self.uniform_int(0, b0 * b1 - 1)
-                p0, p1 = x // b1, x % b1
-                seq[i], seq[p0] = seq[p0], seq[i]
-                i += 1
-                seq[i], seq[p1] = seq[p1], seq[i]
-                i += 1
-        else:  # pragma: no cover — n > 65535 never occurs in megaverse
-            for i in range(1, n):
-                j = self.uniform_int(0, i)
-                seq[i], seq[j] = seq[j], seq[i]
+        _shuffle_impl(seq, self.uniform_int, _U32)
 
 
 # ---------------------------------------------------------------------------
@@ -192,3 +171,67 @@ def episode_reseed(rng: Rng) -> int:
     seed = rng.rand_range(0, 1 << 30)
     rng.seed(seed)
     return seed
+
+
+def _shuffle_impl(seq: MutableSequence, uniform_int, urngrange: int) -> None:
+    """libstdc++ std::shuffle element-move sequence, generator-agnostic:
+    `uniform_int(a, b)` must replicate std::uniform_int_distribution over the
+    target engine; `urngrange` selects the paired-draw fast path exactly as
+    stl_algo.h does (__urngrange / n >= n)."""
+    n = len(seq)
+    if n <= 1:
+        return
+    if urngrange // n >= n:
+        i = 1
+        if n % 2 == 0:
+            j = uniform_int(0, 1)
+            seq[i], seq[j] = seq[j], seq[i]
+            i += 1
+        while i < n:
+            swap_range = i + 1
+            b0, b1 = swap_range, swap_range + 1
+            x = uniform_int(0, b0 * b1 - 1)
+            p0, p1 = x // b1, x % b1
+            seq[i], seq[p0] = seq[p0], seq[i]
+            i += 1
+            seq[i], seq[p1] = seq[p1], seq[i]
+            i += 1
+    else:  # pragma: no cover — n > 65535 never occurs in megaverse
+        for i in range(1, n):
+            j = uniform_int(0, i)
+            seq[i], seq[j] = seq[j], seq[i]
+
+
+class MinstdRand0:
+    """std::minstd_rand0 — libstdc++'s std::default_random_engine, used by
+    siv::PerlinNoise::reseed (util/perlin_noise.hpp:118-126). Schrage-free
+    form: x' = 16807 * x mod (2^31 - 1); a zero seed maps to 1."""
+
+    M = 2147483647
+    MIN, MAX = 1, 2147483646
+
+    def __init__(self, seed: int = 1):
+        s = seed % self.M
+        self._x = s if s else 1
+
+    def next(self) -> int:
+        self._x = (16807 * self._x) % self.M
+        return self._x
+
+    # std::uniform_int_distribution over a NON-full-width engine takes the
+    # scaling-rejection branch of uniform_int_dist.h (the Lemire multiply
+    # path requires a full-width engine like mt19937).
+    def uniform_int(self, a: int, b: int) -> int:
+        urngrange = self.MAX - self.MIN
+        urange = b - a
+        assert urngrange > urange, "downscaling branch only"
+        uerange = urange + 1
+        scaling = urngrange // uerange
+        past = uerange * scaling
+        while True:
+            r = self.next() - self.MIN
+            if r < past:
+                return a + r // scaling
+
+    def shuffle(self, seq: MutableSequence) -> None:
+        _shuffle_impl(seq, self.uniform_int, self.MAX - self.MIN)

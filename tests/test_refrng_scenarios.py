@@ -173,3 +173,61 @@ def test_sokoban_reference_stream_layout():
     np.testing.assert_array_equal(
         np.asarray(scene2.agent_yaw, np.float32),
         np.asarray(SOKO_GOLD[1][4], np.float32))
+
+
+# --- Collect (golden: tests/golden/collect_golden.cpp, built against the
+# reference's own siv perlin header + libstdc++ sort/shuffle) ---------------
+
+def test_collect_reference_stream_layout():
+    import os
+
+    gold_path = os.path.join(os.path.dirname(__file__), "golden",
+                             "collect_golden.txt")
+    gold = {}
+    with open(gold_path) as f:
+        for line in f:
+            key, _, rest = line.partition(" ")
+            gold[key.rstrip(":")] = rest.strip()
+    epseed = int(gold["epseed"])
+    (land_i, floor_i, width, length, _freq, _oct, _pseed, _inten,
+     gl_hex) = gold["cfg"].split()
+    width, length = int(width), int(length)
+    heights = np.array(gold["heights"].rstrip(":").split(), np.int64)
+
+    sc = make_scenario("Collect", num_agents=2)
+    rng = Rng(7)
+    assert episode_reseed(rng) == epseed
+    scene = sc.generate_ref(rng)
+
+    # terrain heights: opaque landscape voxels above the floor per column
+    # (movable boxes are solid but not opaque — exclude them)
+    vt = np.asarray(scene.vtype)
+    got_h = ((vt[1:length - 1, 1:, 1:width - 1] & C.VOXEL_OPAQUE) != 0).sum(1)
+    np.testing.assert_array_equal(got_h.ravel(), heights)
+
+    # agents: golden cells + (.5, agentHeight, .5)
+    agl = np.array(gold["agents"].split(), np.float64).reshape(2, 3)
+    np.testing.assert_allclose(
+        np.asarray(scene.agent_spawn),
+        agl + [0.5, C.AGENT_HEIGHT, 0.5], atol=1e-6)
+    yaws = np.array(gold["yaws"].split(), np.float32)
+    np.testing.assert_array_equal(np.asarray(scene.agent_yaw, np.float32), yaws)
+
+    # rewards: voxel order, count, and good/bad flags bit-for-bit
+    rew = np.array(gold["rewards"].split()[1:], np.int64).reshape(-1, 3)
+    good = np.array(gold["good"].split(), np.int64)
+    scen = scene.scen
+    n = rew.shape[0]
+    np.testing.assert_array_equal(np.asarray(scen.reward_voxel)[:n], rew)
+    np.testing.assert_array_equal(
+        np.asarray(scen.reward_val)[:n], np.where(good, 1.0, -1.0))
+    assert not np.asarray(scen.reward_active)[n:].any()
+
+    # movable boxes: prop centers = cells + .5, in order
+    obj = np.array(gold["objects"].split()[1:], np.float64).reshape(-1, 3)
+    from megaverse_tpu.scenarios.collect import OBJ_MAX
+    ptypes = np.asarray(scene.props.type)[:OBJ_MAX]
+    live = ptypes != C.PROP_NONE
+    assert live.sum() == obj.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(scene.props.pos)[:obj.shape[0]], obj + 0.5, atol=1e-6)
