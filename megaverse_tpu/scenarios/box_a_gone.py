@@ -70,8 +70,72 @@ class BoxAGoneScenario(Scenario):
 
     # ------------------------------------------------------------- generate
     def generate(self, rng: np.random.Generator) -> SceneData:
-        scene = HostScene(self.cfg)
         rr = lambda lo, hi: int(rng.integers(lo, hi))
+        num_levels = rr(2, 4)
+        levels = []
+        spawn_cells = []
+        level_h = 1
+        for level in range(num_levels):
+            level_h += rr(2, 4)
+            ll, lw = rr(10, 19), rr(10, 19)
+            sx, sz = SIZE // 2 - ll // 2, SIZE // 2 - lw // 2
+            skip_p = rng.random() * 0.2
+            tiles = []
+            for x in range(sx, sx + ll):
+                for z in range(sz, sz + lw):
+                    if rng.random() < skip_p:
+                        continue
+                    tiles.append((x, z))
+                    if level == num_levels - 1:
+                        spawn_cells.append((x, level_h, z))
+            levels.append((level_h, tiles))
+        if not spawn_cells:
+            spawn_cells = [(SIZE // 2, 1, SIZE // 2)]
+        while len(spawn_cells) < self.num_agents:
+            spawn_cells.append(spawn_cells[0])
+        order = rng.permutation(len(spawn_cells))
+        spawns = [spawn_cells[order[i]] for i in range(self.num_agents)]
+        yaws = [rng.random() * 2 * np.pi for _ in range(self.num_agents)]
+        return self._build(levels, spawns, yaws)
+
+    supports_ref_stream = True
+
+    def generate_ref(self, rng) -> SceneData:
+        """Reference draw order (BoxAGoneScenario::reset, cpp:41-96: numLevels
+        -> per level height/length/width/skipProb f32 + per-cell skip frand
+        (x-major) -> spawn pad + std::shuffle; then spawnAgents yaws)."""
+        from megaverse_tpu.utils.refrng import ref_spawn_yaw
+
+        num_levels = rng.rand_range(2, 4)
+        levels = []
+        spawn_cells = []
+        level_h = 1
+        for level in range(num_levels):
+            level_h += rng.rand_range(2, 4)
+            ll = rng.rand_range(10, 19)
+            lw = rng.rand_range(10, 19)
+            sx, sz = SIZE // 2 - ll // 2, SIZE // 2 - lw // 2
+            skip_p = np.float32(np.float32(rng.frand()) * np.float32(0.2))
+            tiles = []
+            for x in range(sx, sx + ll):
+                for z in range(sz, sz + lw):
+                    if np.float32(rng.frand()) < skip_p:
+                        continue
+                    tiles.append((x, z))
+                    if level == num_levels - 1:
+                        spawn_cells.append((x, level_h, z))
+            levels.append((level_h, tiles))
+        if not spawn_cells:  # cannot occur for skipProb <= 0.2; safety only
+            spawn_cells = [(SIZE // 2, 1, SIZE // 2)]
+        while len(spawn_cells) < self.num_agents:
+            spawn_cells.append(spawn_cells[0])
+        rng.shuffle(spawn_cells)
+        spawns = spawn_cells[:self.num_agents]
+        yaws = [ref_spawn_yaw(rng) for _ in range(self.num_agents)]
+        return self._build(levels, spawns, yaws)
+
+    def _build(self, levels, spawns, yaws) -> SceneData:
+        scene = HostScene(self.cfg)
         white = C.COLOR_IDX["WHITE"]
 
         # floor + walls (height 8 voxels)
@@ -82,57 +146,37 @@ class BoxAGoneScenario(Scenario):
             scene.vtype[xs, 0:8, zs] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
             scene.vcolor[xs, 0:8, zs] = white
 
-        num_levels = rr(2, 4)
         tile_voxel = np.zeros((T_MAX, 3), np.int32)
         tile_prop = np.zeros((T_MAX,), np.int32)
         tile_active = np.zeros((T_MAX,), bool)
-        spawn_cells = []
         ti = 0
         obj_size = 0.42 * VOXEL
         thickness = obj_size * 0.045
 
-        level_h = 1
-        for level in range(num_levels):
+        for level, (level_h, tiles) in enumerate(levels):
             color = C.COLOR_IDX[_TILE_COLORS[level % 3]]
-            level_h += rr(2, 4)
-            offset = SIZE // 2
-            ll = rr(10, 19)
-            lw = rr(10, 19)
-            sx, sz = offset - ll // 2, offset - lw // 2
-            skip_p = rng.random() * 0.2
-            for x in range(sx, sx + ll):
-                for z in range(sz, sz + lw):
-                    if rng.random() < skip_p:
-                        continue
-                    if ti >= T_MAX:
-                        continue
-                    # tile drawn flush with the voxel top (see deviation note)
-                    center = np.array([
-                        (x + 0.5) * VOXEL, (level_h + 1) * VOXEL - thickness, (z + 0.5) * VOXEL])
-                    idx = scene.add_prop(C.PROP_BOX, center,
-                                         (obj_size, thickness, obj_size), color)
-                    scene.vtype[x, level_h, z] |= C.VOXEL_SOLID
-                    tile_voxel[ti] = [x, level_h, z]
-                    tile_prop[ti] = idx
-                    tile_active[ti] = True
-                    ti += 1
-                    if level == num_levels - 1:
-                        spawn_cells.append(np.array([x, level_h, z]))
+            for (x, z) in tiles:
+                if ti >= T_MAX:
+                    continue
+                # tile drawn flush with the voxel top (see deviation note)
+                center = np.array([
+                    (x + 0.5) * VOXEL, (level_h + 1) * VOXEL - thickness, (z + 0.5) * VOXEL])
+                idx = scene.add_prop(C.PROP_BOX, center,
+                                     (obj_size, thickness, obj_size), color)
+                scene.vtype[x, level_h, z] |= C.VOXEL_SOLID
+                tile_voxel[ti] = [x, level_h, z]
+                tile_prop[ti] = idx
+                tile_active[ti] = True
+                ti += 1
 
-        if not spawn_cells:
-            spawn_cells = [np.array([SIZE // 2, 1, SIZE // 2])]
-        order = rng.permutation(len(spawn_cells))
         a = self.num_agents
-        spawns = [spawn_cells[order[i % len(order)]] for i in range(a)]
-        # ref spawn: voxel centers * voxelSize... the spawn positions are world
-        # coords ((v + .5) * vs); spawn_agents_at adds (.5,0,.5) + agentHeight.
-        world = [(np.asarray(s, float) + 0.5) * VOXEL - np.array([0.5, 0, 0.5])
-                 for s in spawns]
-        # agents spawn standing on top of the tile voxel
-        for i, w in enumerate(world):
-            scene.agent_spawn[i] = [w[0] + 0.5, (spawns[i][1] + 1) * VOXEL + C.AGENT_HALF_HEIGHT + 0.05,
-                                    w[2] + 0.5]
-            scene.agent_yaw[i] = rng.random() * 2 * np.pi
+        # ref spawn: ((v + .5) * voxelSize); agents stand on top of the tile
+        for i, sp in enumerate(spawns):
+            scene.agent_spawn[i] = [
+                (sp[0] + 0.5) * VOXEL,
+                (sp[1] + 1) * VOXEL + C.AGENT_HALF_HEIGHT + 0.05,
+                (sp[2] + 0.5) * VOXEL]
+            scene.agent_yaw[i] = yaws[i]
 
         scen = BoxAGoneState(
             tile_voxel=tile_voxel,

@@ -49,28 +49,33 @@ class FootballScenario(Scenario):
         return {}
 
     def generate(self, rng: np.random.Generator) -> SceneData:
-        scene = HostScene(self.cfg)
         rr = lambda lo, hi: int(rng.integers(lo, hi))
         length = rr(14, 24)
         width = rr(12, 24)
         height = rr(3, 7)
-        white = C.COLOR_IDX["WHITE"]
+        positions = self._spawn_points(length, width, rr)
+        yaws = [rng.random() * 2 * np.pi for _ in range(self.num_agents)]
+        return self._build(length, width, height, positions, yaws)
 
-        scene.vtype[0:length, 0, 0:width] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
-        scene.vcolor[0:length, 0, 0:width] = white
-        for (xs, zs) in ((np.s_[0:1], np.s_[0:width]), (np.s_[length - 1:length], np.s_[0:width]),
-                         (np.s_[0:length], np.s_[0:1]), (np.s_[0:length], np.s_[width - 1:width])):
-            scene.vtype[xs, 0:height, zs] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
-            scene.vcolor[xs, 0:height, zs] = white
+    supports_ref_stream = True
 
-        ball_pos = np.array([5.0, 5.0, 5.0], np.float32)
-        prop = scene.add_prop(C.PROP_SPHERE, ball_pos, (0.5, 0.5, 0.5),
-                              C.COLOR_IDX["ORANGE"])
+    def generate_ref(self, rng) -> SceneData:
+        """Reference draw order (FootballLayout::init, scenario_football.cpp:
+        16-22: length/width/height; Platform::agentSpawnPoints occupancy
+        sampling, platforms.hpp:221-244; then spawnAgents yaws)."""
+        from megaverse_tpu.utils.refrng import ref_spawn_yaw
 
-        # agent spawns via occupancy sampling (Platform::agentSpawnPoints)
-        used = set()
-        positions = []
-        occupancy = {}
+        length = rng.rand_range(14, 24)
+        width = rng.rand_range(12, 24)
+        height = rng.rand_range(3, 7)
+        positions = self._spawn_points(length, width, rng.rand_range)
+        yaws = [ref_spawn_yaw(rng) for _ in range(self.num_agents)]
+        return self._build(length, width, height, positions, yaws)
+
+    def _spawn_points(self, length, width, rr):
+        # Platform::agentSpawnPoints (platforms.hpp:221-244): <=10 attempts
+        # per agent; retries on used cells consume draws.
+        used, occupancy, positions = set(), {}, []
         for _ in range(self.num_agents):
             for _att in range(10):
                 x = rr(1, length - 1)
@@ -84,7 +89,25 @@ class FootballScenario(Scenario):
                 break
         while len(positions) < self.num_agents:
             positions.append(positions[0])
-        scene.spawn_agents_at(np.asarray(positions, np.float64), rng)
+        return positions
+
+    def _build(self, length, width, height, positions, yaws) -> SceneData:
+        scene = HostScene(self.cfg)
+        white = C.COLOR_IDX["WHITE"]
+
+        scene.vtype[0:length, 0, 0:width] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
+        scene.vcolor[0:length, 0, 0:width] = white
+        for (xs, zs) in ((np.s_[0:1], np.s_[0:width]), (np.s_[length - 1:length], np.s_[0:width]),
+                         (np.s_[0:length], np.s_[0:1]), (np.s_[0:length], np.s_[width - 1:width])):
+            scene.vtype[xs, 0:height, zs] |= C.VOXEL_SOLID | C.VOXEL_OPAQUE
+            scene.vcolor[xs, 0:height, zs] = white
+
+        ball_pos = np.array([5.0, 5.0, 5.0], np.float32)
+        prop = scene.add_prop(C.PROP_SPHERE, ball_pos, (0.5, 0.5, 0.5),
+                              C.COLOR_IDX["ORANGE"])
+
+        scene.spawn_agents_at(np.asarray(positions, np.float64), None,
+                              yaws=np.asarray(yaws, np.float32))
 
         scen = FootballState(
             ball_pos=ball_pos,

@@ -231,3 +231,77 @@ def test_collect_reference_stream_layout():
     assert live.sum() == obj.shape[0]
     np.testing.assert_allclose(
         np.asarray(scene.props.pos)[:obj.shape[0]], obj + 0.5, atol=1e-6)
+
+
+# --- BoxAGone (golden: tests/golden/boxagone_golden.cpp) --------------------
+
+def test_boxagone_reference_stream_layout():
+    import os
+
+    gold_path = os.path.join(os.path.dirname(__file__), "golden",
+                             "boxagone_golden.txt")
+    lines = open(gold_path).read().strip().split("\n")
+    epseed = int(lines[0].split()[1])
+    num_levels = int(lines[1].split()[1])
+    level_tiles, level_h = [], []
+    for i in range(num_levels):
+        head, _, tiles = lines[2 + i].partition("tiles:")
+        level_h.append(int(head.split()[3]))
+        level_tiles.append([tuple(map(int, t.split(",")))
+                            for t in tiles.split()])
+    spawns = np.array(lines[2 + num_levels].split()[1:], np.int64).reshape(2, 3)
+    yaws = np.array(lines[3 + num_levels].split()[1:], np.float32)
+
+    sc = make_scenario("BoxAGone", num_agents=2)
+    rng = Rng(7)
+    assert episode_reseed(rng) == epseed
+    scene = sc.generate_ref(rng)
+
+    # tile voxels in generation order (x-major per level)
+    exp = np.concatenate([
+        np.array([(x, h, z) for (x, z) in tiles], np.int64)
+        for h, tiles in zip(level_h, level_tiles)])
+    n = exp.shape[0]
+    scen = scene.scen
+    np.testing.assert_array_equal(np.asarray(scen.tile_voxel)[:n], exp)
+    assert not np.asarray(scen.tile_active)[n:].any()
+
+    # shuffled spawn cells -> world ((v+.5)*voxelSize), standing height
+    from megaverse_tpu.scenarios.box_a_gone import VOXEL
+    got = np.asarray(scene.agent_spawn)
+    np.testing.assert_allclose(got[:, 0], (spawns[:, 0] + 0.5) * VOXEL, atol=1e-6)
+    np.testing.assert_allclose(got[:, 2], (spawns[:, 2] + 0.5) * VOXEL, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(scene.agent_yaw, np.float32), yaws)
+
+
+# --- Football (golden: tests/golden/football_golden.cpp) --------------------
+
+def test_football_reference_stream_layout():
+    import os
+
+    gold_path = os.path.join(os.path.dirname(__file__), "golden",
+                             "football_golden.txt")
+    lines = open(gold_path).read().strip().split("\n")
+    head = lines[0].split()
+    epseed, length, width, height = (int(head[1]), int(head[3]),
+                                     int(head[4]), int(head[5]))
+    spawns = np.array(lines[1].split()[1:], np.float64).reshape(2, 3)
+    yaws = np.array(lines[2].split()[1:], np.float32)
+
+    sc = make_scenario("Football", num_agents=2)
+    rng = Rng(7)
+    assert episode_reseed(rng) == epseed
+    scene = sc.generate_ref(rng)
+
+    vt = np.asarray(scene.vtype)
+    floor = (vt[:, 0, :] & C.VOXEL_SOLID) != 0
+    assert floor[:length, :width].all()
+    assert not floor[length:, :].any() and not floor[:, width:].any()
+    # walls at height voxels on the x=0 edge
+    assert ((vt[0, :height, :width] & C.VOXEL_SOLID) != 0).all()
+    assert not (vt[0, height:, :width] & C.VOXEL_SOLID).any()
+
+    np.testing.assert_allclose(
+        np.asarray(scene.agent_spawn),
+        spawns + [0.5, C.AGENT_HEIGHT, 0.5], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(scene.agent_yaw, np.float32), yaws)
