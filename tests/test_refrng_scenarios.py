@@ -305,3 +305,51 @@ def test_football_reference_stream_layout():
         np.asarray(scene.agent_spawn),
         spawns + [0.5, C.AGENT_HEIGHT, 0.5], atol=1e-6)
     np.testing.assert_array_equal(np.asarray(scene.agent_yaw, np.float32), yaws)
+
+
+# --- Rearrange (golden: tests/golden/rearrange_golden.cpp) ------------------
+
+def test_rearrange_reference_stream_layout():
+    import os
+
+    gold_path = os.path.join(os.path.dirname(__file__), "golden",
+                             "rearrange_golden.txt")
+    lines = open(gold_path).read().strip().split("\n")
+    head = lines[0].split()
+    epseed, height, walls = int(head[1]), int(head[3]), int(head[5])
+    items = np.array(lines[1].split()[2:], np.int64).reshape(-1, 5)
+    spawns = np.array(lines[2].split()[1:], np.int64).reshape(-1, 2)
+    yaws = np.array(lines[3].split()[1:], np.float32)
+    offs = np.array(lines[4].split()[3:], np.int64).reshape(-1, 3)
+
+    from megaverse_tpu.scenarios.rearrange import LEFT, RIGHT
+
+    sc = make_scenario("Rearrange", num_agents=2)
+    rng = Rng(7)
+    assert episode_reseed(rng) == epseed
+    scene = sc.generate_ref(rng)
+    scen = scene.scen
+
+    n = items.shape[0]
+    assert np.asarray(scen.arr_valid).sum() == n
+    np.testing.assert_array_equal(np.asarray(scen.arr_shape)[:n], items[:, 0])
+    np.testing.assert_array_equal(
+        np.asarray(scen.arr_color)[:n], C.OBJECT_COLORS[items[:, 1]])
+    np.testing.assert_array_equal(np.asarray(scen.arr_offset)[:n], items[:, 2:])
+
+    # interactive copy placed at RIGHT + golden offsets
+    ppos = np.asarray(scene.props.pos)
+    for i in range(n):
+        idx = int(np.asarray(scen.obj_prop)[i])
+        np.testing.assert_allclose(
+            ppos[idx], (RIGHT + offs[i]).astype(float) + 0.5, atol=1e-6)
+
+    # agent spawns + yaws
+    exp = np.stack([spawns[:, 0] + 0.5, np.full(2, 2.0 + C.AGENT_HEIGHT),
+                    spawns[:, 1] + 0.5], 1)
+    np.testing.assert_allclose(np.asarray(scene.agent_spawn), exp, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(scene.agent_yaw, np.float32), yaws)
+
+    # walls drawn per the golden randomBool
+    vt = np.asarray(scene.vtype)
+    assert bool((vt[0, 1:height, 1] & C.VOXEL_OPAQUE).any()) == bool(walls)
