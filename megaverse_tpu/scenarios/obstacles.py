@@ -84,8 +84,36 @@ class ObstaclesScenario(Scenario):
 
     # ------------------------------------------------------------- generate
     def generate(self, rng: np.random.Generator) -> SceneData:
+        return self._generate_impl(rng, ref=False)
+
+    supports_ref_stream = True
+
+    def generate_ref(self, rng) -> SceneData:
+        """Reference draw order (ObstaclesScenario::reset,
+        scenario_obstacles.cpp:51-195): drawWalls -> <=20 layout attempts
+        (platform chain: type/init/generate draws through the shared
+        platform classes) -> layout/wall colors -> start-platform agent
+        spawn points -> movable-box budget distribution -> per-platform
+        object positions -> bonus-reward positions -> spawnAgents yaws.
+        The platform classes draw through Platform.rr, which dispatches on
+        the rng type, so the whole chain consumes the mt19937 stream in the
+        C++ order. Deviation #3 (finite dense grid) still applies: a layout
+        that overflows the grid consumes extra regeneration attempts the
+        reference would not."""
+        return self._generate_impl(rng, ref=True)
+
+    def _generate_impl(self, rng, ref: bool) -> SceneData:
         fp = self.params
-        rr = lambda lo, hi: int(rng.integers(lo, hi))
+        if ref:
+            from megaverse_tpu.utils.refrng import ref_spawn_yaw
+
+            rr = rng.rand_range
+            frand32 = lambda: np.float32(rng.frand())
+            yaw_draw = lambda: ref_spawn_yaw(rng)
+        else:
+            rr = lambda lo, hi: int(rng.integers(lo, hi))
+            frand32 = lambda: np.float32(rng.random())
+            yaw_draw = lambda: rng.random() * 2 * np.pi
         draw_walls = bool(rr(0, 2))
         dims = np.asarray(self.cfg.grid.dims)
 
@@ -168,8 +196,16 @@ class ObstaclesScenario(Scenario):
         shift[1] = 0
 
         scene = HostScene(self.cfg)
-        layout_color = int(C.LAYOUT_COLORS[rr(0, len(C.LAYOUT_COLORS))])
-        wall_color = int(C.LAYOUT_COLORS[rr(0, len(C.LAYOUT_COLORS))])
+        layout_idx = rr(0, len(C.LAYOUT_COLORS))
+        wall_idx = rr(0, len(C.LAYOUT_COLORS))
+        layout_color = int(C.LAYOUT_COLORS[layout_idx])
+        wall_color = int(C.LAYOUT_COLORS[wall_idx])
+        # draw-stream debug capture (reference-parity golden tests)
+        self._dbg = dict(
+            attempt=attempt, walls=draw_walls, n_platforms=num_platforms,
+            plats=[(type(q).__name__, q.length, q.width, q.height)
+                   for q in platforms],
+            colors=(layout_idx, wall_idx))
 
         def fill_boxes(p: P.Platform, boxes, color, opaque):
             for box in boxes:
@@ -208,7 +244,6 @@ class ObstaclesScenario(Scenario):
         while len(spawns) < self.num_agents:
             spawns.append(spawns[0].copy())
         spawns = [s + shift for s in spawns]
-        scene.spawn_agents_at(np.asarray(spawns, np.float64), rng)
 
         # movable boxes (cpp:172-188)
         num_boxes = [0] * len(platforms)
@@ -219,8 +254,12 @@ class ObstaclesScenario(Scenario):
 
         object_cells: List[np.ndarray] = []
         for i, p in enumerate(platforms):
-            frac = rng.random() * 0.5
-            extra = int(round(frac * num_boxes[i])) + rr(0, 2)
+            # float chain: frand * 0.5f -> f32 product with the count, then
+            # lround (half away from zero), cpp:181-183
+            frac = np.float32(frand32() * np.float32(0.5))
+            prod = np.float32(frac * np.float32(num_boxes[i]))
+            fl = float(np.floor(prod))
+            extra = int(fl) + int(float(prod) - fl >= 0.5) + rr(0, 2)
             cells = p.generate_object_positions(num_boxes[i] + extra)
             object_cells.extend(cells)
 
@@ -234,6 +273,11 @@ class ObstaclesScenario(Scenario):
             n = rr(0, 2)
             reward_cells.extend(platforms[i].generate_object_positions(n))
         reward_cells = reward_cells[: self.R_MAX]
+
+        # spawnAgents runs after the scenario reset draws (env.cpp:66-68)
+        yaws = np.asarray([yaw_draw() for _ in range(self.num_agents)],
+                          np.float32)
+        scene.spawn_agents_at(np.asarray(spawns, np.float64), None, yaws=yaws)
 
         reward_voxel = np.zeros((self.R_MAX, 3), np.int32)
         reward_prop = np.zeros((self.R_MAX,), np.int32)

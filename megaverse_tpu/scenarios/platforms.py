@@ -97,7 +97,10 @@ class Platform:
 
     def rr(self, lo: int, hi: int) -> int:
         """randRange [lo, hi) (ref util.hpp)."""
-        return int(self.rng.integers(lo, hi))
+        r = self.rng
+        if hasattr(r, "rand_range"):  # reference-stream Rng (utils/refrng.py)
+            return r.rand_range(lo, hi)
+        return int(r.integers(lo, hi))
 
     def param(self, name: str) -> int:
         return int(round(self.params[name]))

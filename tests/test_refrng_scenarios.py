@@ -353,3 +353,49 @@ def test_rearrange_reference_stream_layout():
     # walls drawn per the golden randomBool
     vt = np.asarray(scene.vtype)
     assert bool((vt[0, 1:height, 1] & C.VOXEL_OPAQUE).any()) == bool(walls)
+
+
+# --- Obstacles (golden: tests/golden/obstacles_golden.cpp) ------------------
+
+def test_obstacles_reference_stream_draws():
+    """The full Obstacles draw stream (platform chain incl. the
+    max-difficulty redraw loop, colors, spawn occupancy sampling, box budget
+    + object/reward positions, yaws) consumes the mt19937 stream exactly as
+    the C++ does: the post-generation probe draws can only match if every
+    intermediate draw did."""
+    import os
+
+    gold_path = os.path.join(os.path.dirname(__file__), "golden",
+                             "obstacles_golden.txt")
+    lines = open(gold_path).read().strip().split("\n")
+    epseed = int(lines[0].split()[1])
+    walls, nplat = int(lines[1].split()[1]), int(lines[1].split()[3])
+    plats = [t.split(",") for t in lines[2].split()[1:]]
+    colors = tuple(map(int, lines[3].split()[1:]))
+    n_obj, n_rew = int(lines[5].split()[1]), int(lines[5].split()[3])
+    yaws = np.array(lines[6].split()[1:], np.float32)
+    probe = list(map(int, lines[7].split()[1:]))
+
+    kind = {"StartPlatform": "S", "WallPlatform": "W", "LavaPlatform": "L",
+            "StepPlatform": "T", "GapPlatform": "G",
+            "TransitionPlatform": "A", "ExitPlatform": "E"}
+
+    sc = make_scenario("ObstaclesEasy", num_agents=2)
+    rng = Rng(7)
+    assert episode_reseed(rng) == epseed
+    scene = sc.generate_ref(rng)
+    dbg = sc._dbg
+    assert dbg["attempt"] == 0  # golden assumes no regeneration
+    assert dbg["walls"] == bool(walls) and dbg["n_platforms"] == nplat
+    got = [(kind[n], l, w, h) for (n, l, w, h) in dbg["plats"]]
+    exp = [(k, int(l), int(w), int(h)) for (k, l, w, h) in plats]
+    assert got == exp
+    assert dbg["colors"] == colors
+    scen = scene.scen
+    assert int(np.asarray(scen.reward_active).sum()) == n_rew
+    n_boxes = int((np.asarray(scene.props.type)[:sc.BOX_MAX]
+                   != C.PROP_NONE).sum())
+    assert n_boxes == n_obj
+    np.testing.assert_array_equal(np.asarray(scene.agent_yaw, np.float32), yaws)
+    # the decisive check: the stream position after generation is identical
+    assert [rng.rand_range(0, 1000000) for _ in range(3)] == probe
