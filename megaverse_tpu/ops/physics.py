@@ -6,8 +6,9 @@ stepUp -> stepForwardAndStrafe -> stepDown -> penetration recovery, plus the
 acceleration model in setAcceleration, kcc.cpp:753-792) as a branch-free batched
 program over a dense voxel grid. Convex sweeps against axis-aligned voxel
 geometry reduce to column scans (grid.highest_floor_below / lowest_ceiling_above)
-and per-axis slide clamping, which replaces the iterative Quake2-style slide loop
-(kcc.cpp:337-393) for axis-aligned worlds.
+and a bounded-iteration sweep-and-slide reproducing the Quake2 stop rule of the
+reference's slide loop (kcc.cpp:337-393; see _slide_horizontal) — axis-aligned
+geometry converges in <= 3 masked sweeps vs the reference's <= 10.
 
 The agent capsule (r=0.33, cylinder h=1.05; agent.cpp:52-54) is treated as its
 bounding box for grid collision: half extents (0.33, 0.855, 0.33).
