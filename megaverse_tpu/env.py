@@ -341,7 +341,9 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
                         cams, sclusters, cfg.obs_height, cfg.obs_width)
         packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width,
                                   clusters=clusters, order=order, dist=dist,
-                                  ui_indicators=ui_ind, sclusters=sclusters)
+                                  ui_indicators=ui_ind, sclusters=sclusters,
+                                  merge_tiles=bool(
+                                      os.environ.get("MEGAVERSE_MERGE_TILES")))
     elif backend == "unroll":
         # Trace-time-unrolled XLA renderer: fastest for small scenes; compile
         # time grows with primitive count (use for benchmark scenarios).

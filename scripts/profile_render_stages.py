@@ -87,10 +87,13 @@ def main() -> None:
         order, dist = RP.frustum_cull(cams, sclusters, h, w)
         return clusters, sclusters, order, dist
 
+    merge = bool(os.environ.get("MEGAVERSE_MERGE_TILES"))
+
     @jax.jit
     def kernel(cams, prims, clusters, sclusters, order, dist):
         return RP.render_packed(cams, prims, h, w, clusters=clusters,
-                                order=order, dist=dist, sclusters=sclusters)
+                                order=order, dist=dist, sclusters=sclusters,
+                                merge_tiles=merge)
 
     @jax.jit
     def full(states, remaining):
