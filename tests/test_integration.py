@@ -149,3 +149,30 @@ def test_bench_fence_checksum_is_data_dependent():
     obs2, _, csums2 = env.step_many(pool, 3)
     assert int(csums2[-1]) == int(np.sum(np.asarray(obs2), dtype=np.int32))
     env.close()
+
+
+def test_viewer_state_smoke():
+    """Interactive viewer core (scripts/viewer_app.py): keyboard bitmask,
+    stepping, agent switching, overview fly-cam and hires frames — everything
+    behind the HTTP layer — runs headless."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "viewer_app", os.path.join(os.path.dirname(__file__), "..",
+                                   "scripts", "viewer_app.py"))
+    va = importlib.util.module_from_spec(spec)
+    sys.modules["viewer_app"] = va
+    spec.loader.exec_module(va)
+
+    os.environ["MEGAVERSE_VIEWER_CPU"] = "1"
+    st = va.ViewerState("Empty", num_agents=2, seed=3, hires=1)
+    out = st.step(["KeyW"])                  # forward
+    assert out["frame"] and out["frame_no"] == 1 and out["agent"] == 0
+    out = st.step(["Tab"])                   # switch agent
+    assert out["agent"] == 1
+    out = st.step(["KeyO", "KeyI"])          # overview fly-cam
+    assert out["overview"] is True and out["frame"]
+    import base64
+    png = base64.b64decode(out["frame"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
