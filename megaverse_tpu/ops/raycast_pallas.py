@@ -93,6 +93,8 @@ PRIM_CONE = 3
 PRIM_CONE_FLIPPED = 4
 PRIM_EYEBOX = 5
 PRIM_ROTBOX = 6  # y-rotated box: a=center, b=(yaw,-,-), c=half extents
+TAG_CONE_MIXED = 7  # cluster tag: live rows are CONE / CONE_FLIPPED mixed
+                    # (diamonds interleave top+bottom cones)
 
 _EYE_HALF = (0.25, 0.12, 0.2)
 _EYE_OFFSET = (0.0, 0.0, -0.19)
@@ -413,6 +415,35 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 pload(i, 8), pload(i, 9), pload(i, 10))
             return jnp.where(live, t, INF), nx, ny, nz
 
+        def row_hit_ellipsoid(i):
+            # branch-free variant for all-ELLIPSOID clusters (spheres /
+            # capsules — typed prop segments make these homogeneous)
+            live = pload(i, 0) >= 0
+            t, nx, ny, nz = prim_ellipsoid(
+                pload(i, 1), pload(i, 2), pload(i, 3),
+                pload(i, 4), pload(i, 5), pload(i, 6))
+            return jnp.where(live, t, INF), nx, ny, nz
+
+        def row_hit_cylinder(i):
+            live = pload(i, 0) >= 0
+            t, nx, ny, nz = prim_cylinder(
+                pload(i, 1), pload(i, 2), pload(i, 3),
+                pload(i, 4), pload(i, 5), pload(i, 6))
+            return jnp.where(live, t, INF), nx, ny, nz
+
+        def row_hit_cone(i):
+            # unified cone body: the flip sign comes from the ROW type, so
+            # CONE/CONE_FLIPPED-mixed clusters (diamond top+bottom pairs)
+            # stay branch-free; the math equals the switch's branches 3/4
+            # exactly.
+            ptype = pload(i, 0)
+            s_ = jnp.where(ptype == PRIM_CONE, jnp.float32(1.0),
+                           jnp.float32(-1.0))
+            t, nx, ny, nz = prim_cone(
+                pload(i, 1), pload(i, 2), pload(i, 3),
+                pload(i, 4), pload(i, 5), pload(i, 6), s_)
+            return jnp.where(ptype >= 0, t, INF), nx, ny, nz
+
         # Carry layout: (bt, [bidx], bnx, bny, bnz, bcode, bc). bcode is the
         # deferred-normal face-axis code (0/1/2) set by the all-AABB fast path;
         # 3 means "normals live in bnx/bny/bnz" (generic and rotbox paths, and
@@ -526,11 +557,15 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 row_body = mk(row_hit)
                 row_body_aabb = mk(row_hit_aabb, aabb=True)
                 row_body_rot = mk(row_hit_rotbox)
+                row_body_ell = mk(row_hit_ellipsoid)
+                row_body_cyl = mk(row_hit_cylinder)
+                row_body_cone = mk(row_hit_cone)
 
                 # One scalar switch decides skip / generic / homogeneous fast
-                # paths (all-AABB and all-ROTBOX clusters — merged layout boxes
-                # and hex maze walls — skip the per-row type dispatch;
-                # clusters_ref[...,6] tag from build_clusters).
+                # paths (all-AABB, all-ROTBOX, all-ellipsoid, all-cylinder
+                # and cone/cone-flipped clusters — merged layout boxes, hex
+                # walls, landmark props and diamonds — skip the per-row type
+                # dispatch; clusters_ref[...,6] tag from build_clusters).
                 tag = cload(g, 6).astype(jnp.int32)
 
                 def run(rb, c):
@@ -542,17 +577,24 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
 
                 skip = (lambda c: c) if maxt_in is None else (
                     lambda c: (maxt_in, *c))
+                is_cone = ((tag == PRIM_CONE) | (tag == PRIM_CONE_FLIPPED)
+                           | (tag == TAG_CONE_MIXED))
                 branch = jnp.where(
                     jnp.any(reachable),
                     jnp.where(tag == PRIM_AABB, jnp.int32(2),
-                              jnp.where(tag == PRIM_ROTBOX, jnp.int32(3),
-                                        jnp.int32(1))),
+                    jnp.where(tag == PRIM_ROTBOX, jnp.int32(3),
+                    jnp.where(tag == PRIM_ELLIPSOID, jnp.int32(4),
+                    jnp.where(tag == PRIM_CYLINDER, jnp.int32(5),
+                    jnp.where(is_cone, jnp.int32(6), jnp.int32(1)))))),
                     jnp.int32(0))
                 return jax.lax.switch(branch, [
                     skip,
                     functools.partial(run, row_body),
                     functools.partial(run, row_body_aabb),
                     functools.partial(run, row_body_rot),
+                    functools.partial(run, row_body_ell),
+                    functools.partial(run, row_body_cyl),
+                    functools.partial(run, row_body_cone),
                 ], carry)
 
             num_groups = num_prims // cluster_k
@@ -941,14 +983,19 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
     clo = jnp.where(empty, INF, clo)
     chi = jnp.where(empty, INF, chi)
     # Homogeneity tag (column 6): the shared row type if every LIVE row in
-    # the cluster has it, else -1. The kernel runs a branch-free fast path
-    # for all-AABB clusters. Dead rows are wildcards; all-dead -> -1.
+    # the cluster has it; TAG_CONE_MIXED when live rows are CONE/CONE_FLIPPED
+    # mixed (diamond top+bottom pairs); else -1 (generic switch path). The
+    # kernel runs branch-free fast paths for tagged clusters. Dead rows are
+    # wildcards; all-dead -> -1.
     grp = ptype.reshape(g, k)
     live = grp >= 0
     ref_t = jnp.max(grp, axis=1)
-    same = (((grp == ref_t[:, None]) | ~live).all(axis=1)
-            & live.any(axis=1))
-    tag = jnp.where(same, ref_t, -1).astype(jnp.float32)
+    any_live = live.any(axis=1)
+    same = ((grp == ref_t[:, None]) | ~live).all(axis=1) & any_live
+    coney = (((grp == PRIM_CONE) | (grp == PRIM_CONE_FLIPPED) | ~live
+              ).all(axis=1) & any_live)
+    tag = jnp.where(same, ref_t,
+                    jnp.where(coney, TAG_CONE_MIXED, -1)).astype(jnp.float32)
     clusters = jnp.concatenate(
         [clo, chi, tag[:, None], jnp.zeros((g, 1), jnp.float32)], axis=1)
     return prims, clusters
