@@ -37,6 +37,10 @@ class StepResult(NamedTuple):
     true_objective: jax.Array  # f32 [A] captured pre-reset (vector_env.cpp:96-103)
 
 
+DEFERRED_RESET_FIELDS = (
+    "cols", "vterrain", "vobj", "box_lo", "box_hi", "box_color", "props")
+
+
 def env_step(
     scenario: Scenario,
     state: EnvState,
@@ -44,6 +48,7 @@ def env_step(
     action: jax.Array,     # int32 [A] bitmask
     shaping: jax.Array,    # f32 [A, K]
     render_obs: bool = True,
+    defer_reset: bool = False,
 ) -> StepResult:
     cfg = scenario.cfg
     dt = cfg.dt
@@ -58,15 +63,14 @@ def env_step(
     state = scenario.pre_physics(state, action)
 
     # Physics (env.cpp:126: bWorld.stepSimulation -> KCC playerStep per agent).
-    # The solid-column bitmask grid is packed once and shared (one cheap
-    # streaming reduction replaces most 3-D voxel gathers — the expensive
-    # primitive on TPU).
-    from megaverse_tpu.ops import grid as _G
-
-    cols = _G.pack_solid_columns(cfg.grid, state.vtype)
-    agents = P.player_step(cfg.grid, state.vtype, state.agents, dt, cols=cols)
-    agents = P.resolve_agent_collisions(agents, cfg.grid, state.vtype,
-                                        cols=cols)
+    # The solid-column bitmask grid is the STATE's canonical collision
+    # representation (packed at generation time, updated incrementally by the
+    # few voxel-mutating scenarios) — the per-step full-grid pack it replaces
+    # was the single largest sim-side HBM term (ObstaclesHard: 671 MB/step at
+    # 1024 envs).
+    cols = state.cols
+    agents = P.player_step(cfg.grid, None, state.agents, dt, cols=cols)
+    agents = P.resolve_agent_collisions(agents, cfg.grid, None, cols=cols)
     state = state.replace(agents=agents)
 
     # Scenario logic + rewards (env.cpp:131).
@@ -87,9 +91,18 @@ def env_step(
     # Capture trueObjective before auto-reset (vector_env.cpp:94-103).
     true_objective = state.true_objective
 
-    # Masked auto-reset from the pre-generated layout.
+    # Masked auto-reset from the pre-generated layout. With defer_reset the
+    # leaves that are PURE COPIES of the layout (grids, box/prop tables) are
+    # excluded from this per-env select — the batched wrapper patches them
+    # afterwards with a K-slot scatter (apply_deferred_resets), so the per-
+    # step HBM cost of auto-reset scales with the number of envs actually
+    # done instead of streaming every env's full layout every step (the
+    # dominant sim-side bandwidth term for big-grid scenarios).
     rng, sub = jax.random.split(state.rng)
     fresh = state_from_scene(next_scene, cfg.num_agents, sub)
+    if defer_reset:
+        fresh = fresh.replace(
+            **{f: getattr(state, f) for f in DEFERRED_RESET_FIELDS})
     state = tree_select(done, fresh, state.replace(rng=rng))
 
     if render_obs:
@@ -98,6 +111,48 @@ def env_step(
         obs = jnp.zeros((cfg.num_agents, cfg.obs_height, cfg.obs_width, 3), jnp.uint8)
 
     return StepResult(state, obs, reward, done, true_objective)
+
+
+def apply_deferred_resets(state, next_scenes, done, max_slots: int = 32):
+    """Batched completion of env_step(defer_reset=True): copy the layout-
+    copy leaves (DEFERRED_RESET_FIELDS) from next_scenes into the state for
+    done envs.
+
+    Runs OUTSIDE the vmapped step: when <= max_slots envs finished this step
+    (the overwhelmingly common case at 15 Hz), a K-slot gather/scatter moves
+    only those envs' layouts; episode-length sync bursts (every env done on
+    the same tick) fall back to the full masked select under a real lax.cond
+    branch, so their cost is paid once per episode cycle, not every step.
+    Bit-identical to the inline select: the copied values are exactly
+    state_from_scene's passthrough of the scene fields."""
+    bsz = done.shape[0]
+    n = jnp.sum(done.astype(jnp.int32))
+    # ascending done indices, then `bsz` sentinels
+    idx = jnp.sort(jnp.where(done, jnp.arange(bsz, dtype=jnp.int32), bsz))
+    idx = idx[: min(max_slots, bsz)]
+    gidx = jnp.minimum(idx, bsz - 1)          # gather-safe
+    sidx = idx                                 # == bsz -> dropped by scatter
+
+    fields = DEFERRED_RESET_FIELDS
+
+    def few(state):
+        def patch(dst, src):
+            return dst.at[sidx].set(src[gidx], mode="drop")
+
+        return state.replace(**{
+            f: jax.tree.map(patch, getattr(state, f), getattr(next_scenes, f))
+            for f in fields})
+
+    def full(state):
+        def sel(dst, src):
+            p = done.reshape((bsz,) + (1,) * (dst.ndim - 1))
+            return jnp.where(p, src, dst)
+
+        return state.replace(**{
+            f: jax.tree.map(sel, getattr(state, f), getattr(next_scenes, f))
+            for f in fields})
+
+    return jax.lax.cond(n <= idx.shape[0], few, full, state)
 
 
 def render_state(scenario: Scenario, state: EnvState) -> jax.Array:
@@ -312,8 +367,20 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
             lambda s, tf: RP.build_cams(cfg, s.agents, tf, s.last_reward)
         )(states, remaining)
         prims = make_prims(states)
-        clusters = order = dist = sclusters = None
-        if not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
+        clusters = order = dist = sclusters = scbits = clbits = None
+        mode = os.environ.get("MEGAVERSE_RENDER_MODE", "bits")
+        if mode == "bits" and not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
+            # Default: bit-walk traversal. The prologue is pure elementwise
+            # XLA (no sort); the kernel's control flow is scalar-only. See
+            # RP.cull_bits for the measured rationale.
+            prims, clusters = jax.vmap(RP.build_clusters)(prims)
+            clusters, _ = jax.vmap(RP.build_superclusters)(clusters)
+            prims = jax.vmap(
+                lambda p, c: RP.pad_prims_to_clusters(p, c),
+                in_axes=(0, 0))(prims, clusters)
+            scbits, clbits = RP.cull_bits(
+                cams, clusters, cfg.obs_height, cfg.obs_width)
+        elif not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
             prims, clusters = jax.vmap(RP.build_clusters)(prims)
             if not os.environ.get("MEGAVERSE_NO_CLUSTER_SORT"):
                 if (os.environ.get("MEGAVERSE_NO_TILE_CULL")
@@ -342,6 +409,7 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
         packed = RP.render_packed(cams, prims, cfg.obs_height, cfg.obs_width,
                                   clusters=clusters, order=order, dist=dist,
                                   ui_indicators=ui_ind, sclusters=sclusters,
+                                  scbits=scbits, clbits=clbits,
                                   merge_tiles=bool(
                                       os.environ.get("MEGAVERSE_MERGE_TILES")))
     elif backend == "unroll":

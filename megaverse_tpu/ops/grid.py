@@ -110,6 +110,69 @@ def aabb_hits_solid(
 # functions above; tests pin the physics behavior either way.
 # ---------------------------------------------------------------------------
 
+def pack_solid_columns_np(vtype) -> "np.ndarray":
+    """Host-side (numpy) twin of pack_solid_columns, bit-identical layout.
+
+    Used by layout generation to ship the packed grid in SceneData so the
+    device never re-scans the full voxel grid per step (the scan was the
+    single largest sim-side HBM term: ObstaclesHard reads 671 MB/step at
+    1024 envs)."""
+    import numpy as np
+
+    x, y, z = vtype.shape
+    w = -(-y // 32)
+    solid = ((vtype & C.VOXEL_SOLID) != 0).astype(np.uint32)
+    if w * 32 - y:
+        solid = np.pad(solid, ((0, 0), (0, w * 32 - y), (0, 0)))
+    solid = solid.reshape(x, w, 32, z)
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :, None]
+    return np.sum(solid << shifts, axis=2, dtype=np.uint32)
+
+
+def update_cols(cfg: GridConfig, cols: jax.Array, ii: jax.Array,
+                solid) -> jax.Array:
+    """Set/clear the SOLID bit of packed columns at integer coords [..., 3].
+
+    Out-of-bounds writes are dropped (pass coords of -1 to mask rows out);
+    `solid` is a boolean (broadcast to the coord batch). Must be called
+    alongside every runtime voxel mutation that changes VOXEL_SOLID so
+    state.cols stays bit-equal to packing the mutated dense grid (asserted
+    by tests).
+
+    Implementation note: multiple coords may share one packed WORD (same
+    x,z column, different y), so a read-modify-write scatter would lose
+    bits to scatter-order races. The update is therefore a scatter-ADD of
+    single-bit deltas guarded by the bit's CURRENT value — associative and
+    exact. Precondition: no two rows may name the SAME CELL (callers'
+    conflict resolution guarantees it; same cell twice would double-add)."""
+    dims = jnp.asarray(cfg.dims, jnp.int32)
+    valid = jnp.all((ii >= 0) & (ii < dims), axis=-1)
+    iic = jnp.clip(ii, 0, dims - 1)
+    xw = iic[..., 0]
+    yw = iic[..., 1] >> 5
+    zw = iic[..., 2]
+    bit = jnp.uint32(1) << (iic[..., 1] & 31).astype(jnp.uint32)
+    old = cols[xw, yw, zw]
+    already = (old & bit) != 0
+    solid = jnp.broadcast_to(jnp.asarray(solid, bool), valid.shape)
+    delta = jnp.where(valid & (solid != already), bit, jnp.uint32(0))
+    delta = jnp.where(solid, delta, jnp.uint32(0) - delta)  # wraparound sub
+    return cols.at[xw, yw, zw].add(delta)
+
+
+def solid_from_cols(cfg: GridConfig, cols: jax.Array, ii: jax.Array) -> jax.Array:
+    """SOLID flag at integer coords [..., 3] from packed columns.
+
+    Equivalent to (gather_voxel(vtype) & VOXEL_SOLID) != 0; out-of-bounds
+    coords read False (matching gather_voxel's zero fill)."""
+    dims = jnp.asarray(cfg.dims, jnp.int32)
+    valid = jnp.all((ii >= 0) & (ii < dims), axis=-1)
+    iic = jnp.clip(ii, 0, dims - 1)
+    word = cols[iic[..., 0], iic[..., 1] >> 5, iic[..., 2]]
+    bit = (word >> (iic[..., 1] & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    return valid & (bit != 0)
+
+
 def pack_solid_columns(cfg: GridConfig, vtype: jax.Array) -> jax.Array:
     """[X, Y, Z] voxel flags -> u32 [X, W, Z], W = ceil(Y/32); bit y%32 of
     word y//32 is the SOLID flag of cell y."""

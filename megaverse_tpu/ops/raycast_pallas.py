@@ -103,8 +103,13 @@ _EYE_OFFSET = (0.0, 0.0, -0.19)
 def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                    cluster_k=0, sorted_order=False, early_exit=False,
                    per_tile=False, prim_flat=False, ui_indicators=False,
-                   super_k=0, num_clusters=0, merge_tiles=False):
-    if super_k:
+                   super_k=0, num_clusters=0, merge_tiles=False,
+                   bit_walk=False):
+    if bit_walk:
+        # compact survivor lists + packed member bitmasks (cull_bits);
+        # scalar-only control flow
+        clusters_ref, sclist_ref, clbits_ref, out_ref = rest
+    elif super_k:
         # supercluster mode implies sorted per-tile lists + early exit
         clusters_ref, sclusters_ref, order_ref, dist_ref, out_ref = rest
     elif cluster_k and sorted_order and early_exit:
@@ -598,7 +603,74 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 ], carry)
 
             num_groups = num_prims // cluster_k
-            if super_k:
+            if bit_walk:
+                # Bit-walk traversal: the prologue (cull_bits) already decided
+                # per tile which clusters can contribute; the kernel's control
+                # flow is pure SCALAR work — bitmask word loads, shifts, and
+                # scalar conds/switches — with zero vector->scalar syncs in
+                # the loop (measured culling stats show in-kernel occlusion
+                # beyond the frustum test removes <5% of rows, so it is not
+                # worth one sync per cluster). Traversal is in TABLE ORDER,
+                # so the strict `t < bt` carry reproduces the XLA renderer's
+                # in-order scan bit-exactly.
+                row_body = make_body(row_hit)
+                row_body_aabb = make_body(row_hit_aabb, aabb=True)
+                row_body_rot = make_body(row_hit_rotbox)
+                row_body_ell = make_body(row_hit_ellipsoid)
+                row_body_cyl = make_body(row_hit_cylinder)
+                row_body_cone = make_body(row_hit_cone)
+
+                def run_cluster(gc, carry):
+                    tag = cload(gc, 6).astype(jnp.int32)
+
+                    def run(rb, c):
+                        for j in range(cluster_k):
+                            c = rb(gc * cluster_k + j, c)
+                        return c
+
+                    is_cone = ((tag == PRIM_CONE) | (tag == PRIM_CONE_FLIPPED)
+                               | (tag == TAG_CONE_MIXED))
+                    branch = jnp.where(tag == PRIM_AABB, jnp.int32(1),
+                             jnp.where(tag == PRIM_ROTBOX, jnp.int32(2),
+                             jnp.where(tag == PRIM_ELLIPSOID, jnp.int32(3),
+                             jnp.where(tag == PRIM_CYLINDER, jnp.int32(4),
+                             jnp.where(is_cone, jnp.int32(5), jnp.int32(0))))))
+                    return jax.lax.switch(branch, [
+                        functools.partial(run, row_body),
+                        functools.partial(run, row_body_aabb),
+                        functools.partial(run, row_body_rot),
+                        functools.partial(run, row_body_ell),
+                        functools.partial(run, row_body_cyl),
+                        functools.partial(run, row_body_cone),
+                    ], carry)
+
+                # walk the compact per-tile survivor list; the sentinel
+                # (== num_super) terminates. Mean list length is ~4-6, so
+                # the loop does no idle iterations at all.
+                num_super_g = num_groups // super_k
+
+                def sc_cond(state):
+                    g = state[0]
+                    return (g < num_super_g) & (
+                        sclist_ref[0, 0, tile_row, g] < num_super_g)
+
+                def sc_body(state):
+                    g = state[0]
+                    carry = state[1:]
+                    gs = sclist_ref[0, 0, tile_row, g]
+
+                    for j in range(super_k):
+                        gc = gs * super_k + j
+                        wc_ = clbits_ref[0, 0, tile_row, gc >> 5]
+                        cb = (wc_ >> (gc & 31)) & 1
+                        carry = jax.lax.cond(
+                            cb != 0, functools.partial(run_cluster, gc),
+                            lambda cc: cc, carry)
+                    return (g + 1, *carry)
+
+                st = jax.lax.while_loop(sc_cond, sc_body, (jnp.int32(0), *init))
+                t, nx, ny, nz, ncode, cpk = st[1:]
+            elif super_k:
                 # Two-level culling: the per-tile front-to-back list is over
                 # SUPERclusters (super_k consecutive clusters, AABB from
                 # build_superclusters). One vector slab test per visited
@@ -800,7 +872,9 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                   interpret: bool = False,
                   ui_indicators: bool = False,
                   sclusters: jax.Array | None = None,
-                  merge_tiles: bool = False) -> jax.Array:
+                  merge_tiles: bool = False,
+                  scbits: jax.Array | None = None,
+                  clbits: jax.Array | None = None) -> jax.Array:
     """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W].
 
     With `clusters` [B, M // CLUSTER_K, 8] (from build_clusters, which also
@@ -851,6 +925,7 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
             pl.BlockSpec((1, num_prims, row_w), lambda b, a, h: (b, 0, 0),
                          memory_space=pltpu.VMEM))
     super_k = 0
+    bit_walk = scbits is not None
     if clusters is not None:
         cluster_k = CLUSTER_K
         assert num_prims % cluster_k == 0, (num_prims, cluster_k)
@@ -860,7 +935,27 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
             pl.BlockSpec((1, 1, clusters.shape[1] * 8),
                          lambda b, a, h: (b, 0, 0),
                          memory_space=pltpu.SMEM))
-        if sclusters is not None:
+        if bit_walk:
+            # compact per-tile survivor lists + packed member bitmasks
+            # (cull_bits): scalar-only traversal, no distance sort, no
+            # supercluster AABB table
+            assert clbits is not None and order is None and sclusters is None
+            super_k = SUPER_K
+            assert num_prims == clusters.shape[1] * cluster_k, \
+                (num_prims, clusters.shape[1])  # pad_prims_to_clusters
+            assert clusters.shape[1] % super_k == 0, clusters.shape
+            t = height // TILE_H
+            g = clusters.shape[1]
+            assert clbits.shape == (bsz, num_agents, t, -(-g // 32)), clbits.shape
+            assert scbits.shape == (bsz, num_agents, t,
+                                    g // super_k), scbits.shape
+            for bits in (scbits, clbits):
+                inputs.append(bits)
+                in_specs.append(
+                    pl.BlockSpec((1, 1, t, bits.shape[-1]),
+                                 lambda b, a, h: (b, a, 0, 0),
+                                 memory_space=pltpu.SMEM))
+        elif sclusters is not None:
             # supercluster mode: order/dist index the SC table
             assert order is not None and dist is not None and per_tile
             super_k = SUPER_K
@@ -905,7 +1000,7 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
         per_tile=per_tile, prim_flat=prim_flat, ui_indicators=ui_indicators,
         super_k=super_k,
         num_clusters=clusters.shape[1] if clusters is not None else 0,
-        merge_tiles=merge_tiles,
+        merge_tiles=merge_tiles, bit_walk=bit_walk,
     )
     if merge_tiles:
         # One program per (env, agent): the kernel loops the tile rows
@@ -1001,6 +1096,23 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
     return prims, clusters
 
 
+def pad_prims_to_clusters(prims: jax.Array, clusters: jax.Array,
+                          k: int = CLUSTER_K) -> jax.Array:
+    """Pad a prim table with dead rows so num_prims == num_clusters * k.
+
+    The bit-walk kernel iterates exactly num_prims/(k*SUPER_K) supercluster
+    groups; after build_superclusters pads the CLUSTER table to a multiple of
+    SUPER_K the prim table must grow to match or tail clusters would be
+    dropped from traversal."""
+    want = clusters.shape[0] * k
+    m = prims.shape[0]
+    assert want >= m, (want, m)
+    if want == m:
+        return prims
+    dead = jnp.zeros((want - m, prims.shape[1]), prims.dtype).at[:, 0].set(-1.0)
+    return jnp.concatenate([prims, dead])
+
+
 def build_superclusters(clusters: jax.Array, k: int = SUPER_K):
     """Pad a cluster table [G, 8] to a multiple of k and build the
     supercluster AABB table [G'/k, 8] (lo xyz, hi xyz, 2 pad). Dead clusters
@@ -1088,24 +1200,16 @@ def _tile_dir_bounds(height: int, width: int, tile_h: int = TILE_H,
     return lo, hi
 
 
-def frustum_cull(cams: jax.Array, clusters: jax.Array,
-                 height: int, width: int,
-                 tile_h: int = TILE_H, tile_w: int = TILE_W):
-    """Per-TILE front-to-back cluster lists with conservative frustum culling.
-
-    cams [B, A, 8], clusters [B, G, 8] ->
-        (order int32 [B, A, T, G], dist f32 [B, A, T, G]), T = height/TILE_H.
+def _tile_survive(cams: jax.Array, clusters: jax.Array,
+                  height: int, width: int,
+                  tile_h: int = TILE_H, tile_w: int = TILE_W) -> jax.Array:
+    """Conservative per-tile frustum survival mask [B, A, T, G].
 
     For each (env, agent, 8-row pixel tile) the cluster AABB is slab-tested
     against INTERVAL ray directions (exact camera-space per-tile bounds
     rotated by the agent's yaw/pitch with interval arithmetic, widened by a
     float-safety margin), so any cluster that any ray of the tile could enter
-    in front of the camera and inside the far plane SURVIVES. Culled and dead
-    clusters get dist=+INF and sort last: the kernel's early-exit condition
-    (max tile depth starts at the far plane) therefore never visits them.
-    Survivors keep the eye-distance lower bound used for early termination,
-    sorted ascending (front-to-back)."""
-    t = -(-height // tile_h) * (width // tile_w)
+    in front of the camera and inside the far plane SURVIVES."""
     d0lo, d0hi = _tile_dir_bounds(height, width, tile_h, tile_w)  # [T, 3]
     d0lo = jnp.asarray(d0lo)[None, None]               # [1, 1, T, 3]
     d0hi = jnp.asarray(d0hi)[None, None]
@@ -1158,8 +1262,24 @@ def frustum_cull(cams: jax.Array, clusters: jax.Array,
         tmax = jnp.where(definite, jnp.minimum(tmax, ax_max), tmax)
 
     slack = 0.02
-    survive = ((tmax >= tmin - slack) & (tmax > -slack)
-               & (tmin < C.CAMERA_FAR + slack))        # [B, A, T, G]
+    return ((tmax >= tmin - slack) & (tmax > -slack)
+            & (tmin < C.CAMERA_FAR + slack))           # [B, A, T, G]
+
+
+def frustum_cull(cams: jax.Array, clusters: jax.Array,
+                 height: int, width: int,
+                 tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Per-TILE front-to-back cluster lists with conservative frustum culling.
+
+    cams [B, A, 8], clusters [B, G, 8] ->
+        (order int32 [B, A, T, G], dist f32 [B, A, T, G]), T = height/TILE_H.
+
+    Survival is `_tile_survive`'s conservative interval slab test. Culled and
+    dead clusters get dist=+INF and sort last: the kernel's early-exit
+    condition (max tile depth starts at the far plane) therefore never visits
+    them. Survivors keep the eye-distance lower bound used for early
+    termination, sorted ascending (front-to-back)."""
+    survive = _tile_survive(cams, clusters, height, width, tile_h, tile_w)
 
     d = jnp.maximum(jnp.maximum(clusters[:, None, :, 0:3] - cams[:, :, None, :3],
                                 cams[:, :, None, :3] - clusters[:, None, :, 3:6]),
@@ -1170,6 +1290,51 @@ def frustum_cull(cams: jax.Array, clusters: jax.Array,
         jnp.arange(key.shape[-1], dtype=jnp.int32), key.shape)
     skey, order = jax.lax.sort((key, idx), dimension=-1, num_keys=1)
     return order, jnp.sqrt(skey)
+
+
+def cull_bits(cams: jax.Array, clusters: jax.Array, height: int, width: int,
+              super_k: int = SUPER_K,
+              tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Packed per-tile cluster survival bitmasks for the bit-walk kernel.
+
+    cams [B, A, 8], clusters [B, G, 8] (G % super_k == 0) ->
+        (scbits int32 [B, A, T, Ws], clbits int32 [B, A, T, Wc])
+    where Wc = ceil(G/32), Ws = ceil((G/super_k)/32); bit g of clbits is
+    `_tile_survive`'s conservative frustum test for cluster g, and bit s of
+    scbits is the OR over supercluster s's members (so the two levels can
+    never disagree).
+
+    This replaces the per-tile sorted-distance list + in-kernel occlusion
+    machinery: measured culling stats (scripts/analyze_culling.py) show
+    occlusion culling beyond the frustum test removes <5% of surviving rows
+    on every Megaverse-8 scene, while its per-cluster vector->scalar syncs
+    (jnp.any -> cond) dominated kernel time. The bit-walk kernel's control
+    flow is pure scalar work; traversal stays in TABLE ORDER (ascending
+    indices), so a strict `t < bt` carry is bit-identical to the XLA table
+    renderer's in-order scan."""
+    survive = _tile_survive(cams, clusters, height, width, tile_h, tile_w)
+    g = survive.shape[-1]
+    assert g % super_k == 0, (g, super_k)
+
+    def pack(sv):
+        n = sv.shape[-1]
+        w = -(-n // 32)
+        pad = w * 32 - n
+        if pad:
+            sv = jnp.concatenate(
+                [sv, jnp.zeros(sv.shape[:-1] + (pad,), bool)], axis=-1)
+        sv = sv.reshape(sv.shape[:-1] + (w, 32)).astype(jnp.int32)
+        # distinct powers of two per lane: wraparound int32 add == bitwise or
+        return jnp.sum(sv << jnp.arange(32, dtype=jnp.int32), axis=-1)
+
+    sc = survive.reshape(survive.shape[:-1] + (g // super_k, super_k)).any(-1)
+    # Compact ascending list of surviving supercluster indices, sentinel-
+    # terminated (sentinel = num_super): the kernel walks exactly the
+    # survivors (mean ~4-6 per tile) instead of idling through every index.
+    ns = sc.shape[-1]
+    idx = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32), sc.shape)
+    sclist = jax.lax.sort(jnp.where(sc, idx, jnp.int32(ns)), dimension=-1)
+    return sclist, pack(survive)
 
 
 # ---------------------------------------------------------------------------

@@ -117,9 +117,18 @@ class Learner:
         self, ls: LearnerState, next_scenes: SceneData, shaping: jax.Array
     ) -> Tuple[LearnerState, RolloutBatch]:
         scen = self.scenario
-        vstep = jax.vmap(
-            functools.partial(env_step, scen, render_obs=False), in_axes=(0, 0, 0, 0)
+        from megaverse_tpu.env import apply_deferred_resets
+
+        vstep_mapped = jax.vmap(
+            functools.partial(env_step, scen, render_obs=False,
+                              defer_reset=True), in_axes=(0, 0, 0, 0)
         )
+
+        def vstep(env_state, scenes, mask, shaping):
+            res = vstep_mapped(env_state, scenes, mask, shaping)
+            return res._replace(state=apply_deferred_resets(
+                res.state, scenes, res.done))
+
         init_carry = ls.carry
 
         def one_step(carry, _):

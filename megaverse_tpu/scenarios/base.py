@@ -233,9 +233,11 @@ class HostScene:
         for i, (lo, hi, col) in enumerate(boxes):
             box_lo[i], box_hi[i], box_color[i] = lo, hi, col
 
+        from megaverse_tpu.ops.grid import pack_solid_columns_np
+
         one = np.zeros((1, 1, 1), np.uint8)
-        return SceneData(
-            vtype=self.vtype,
+        data = SceneData(
+            cols=pack_solid_columns_np(self.vtype),
             vterrain=self.vterrain if self.cfg.needs_terrain_grid else one,
             vobj=(self.vobj if self.cfg.needs_object_grid
                   else one.astype(np.int16)),
@@ -252,6 +254,11 @@ class HostScene:
             episode_len_sec=np.float32(self.episode_len_sec),
             scen=scen if scen != () else self.scen,
         )
+        # Host-only debug view of the dense grid (NOT a pytree field — the
+        # device never ships it; golden/layout tests inspect OPAQUE etc.).
+        object.__setattr__(data, "host_vtype", self.vtype)
+        object.__setattr__(data, "host_vcolor", self.vcolor)
+        return data
 
 
 def _morton_sort_boxes(boxes):

@@ -255,9 +255,9 @@ class BoxAGoneScenario(Scenario):
             jnp.where(expiring, props.flags[sc.tile_prop] & vis_mask,
                       props.flags[sc.tile_prop]))
         props = props.replace(flags=flags)
-        vt = G.gather_voxel(cfg, state.vtype, sc.tile_voxel)
-        vtype = G.set_voxel(cfg, state.vtype, sc.tile_voxel,
-                            jnp.where(expiring, vt & ~jnp.uint8(C.VOXEL_SOLID), vt))
+        cols = G.update_cols(
+            cfg, state.cols,
+            jnp.where(expiring[:, None], sc.tile_voxel, -1), False)
         tile_active = sc.tile_active & ~expiring
 
         all_on_floor = jnp.all(touches_floor)
@@ -279,7 +279,7 @@ class BoxAGoneScenario(Scenario):
             tobj = sc.seconds_off_floor / state.episode_len_sec
 
         state = state.replace(
-            vtype=vtype, props=props, scen=sc, episode_sec=episode_sec,
+            cols=cols, props=props, scen=sc, episode_sec=episode_sec,
             true_objective=tobj)
         return state, rewards
 

@@ -118,7 +118,7 @@ def object_stacking_step(
     obj_pos = state.props.pos[cidx]  # [A,3] carried object position
     place_voxel = G.world_to_voxel(cfg, obj_pos)  # [A,3]
 
-    vt = G.gather_voxel(cfg, state.vtype, place_voxel)
+    solid_pv = G.solid_from_cols(cfg, state.cols, place_voxel)
     vo = G.gather_voxel(cfg, state.vobj, place_voxel)
     in_grid = jnp.all(
         (place_voxel >= 0) & (place_voxel < jnp.asarray(cfg.dims)), axis=-1
@@ -126,7 +126,7 @@ def object_stacking_step(
     # "empty": not solid and no object (hpp:96). Out-of-grid counts as empty in
     # the reference (sparse grid); we require in-grid so the object table and
     # grid stay consistent.
-    voxel_empty = ((vt & C.VOXEL_SOLID) == 0) & (vo == 0) & in_grid
+    voxel_empty = ~solid_pv & (vo == 0) & in_grid
 
     # No agent standing in that voxel (hpp:82-94; compares agent voxel coords).
     agent_voxels = G.world_to_voxel(cfg, agents.pos + jnp.asarray([0.0, C.AGENT_BODY_OFFSET_Y, 0.0]))
@@ -142,9 +142,9 @@ def object_stacking_step(
     # object (hpp:101-115), bounded scan.
     def settle_body(_, voxel):
         below = voxel - jnp.asarray([0, 1, 0])
-        bt = G.gather_voxel(cfg, state.vtype, below)
+        bs = G.solid_from_cols(cfg, state.cols, below)
         bo = G.gather_voxel(cfg, state.vobj, below)
-        support = ((bt & C.VOXEL_SOLID) != 0) | (bo != 0) | (below[..., 1] < 0)
+        support = bs | (bo != 0) | (below[..., 1] < 0)
         return jnp.where(support[..., None], voxel, below)
 
     settled = place_voxel
@@ -172,18 +172,13 @@ def object_stacking_step(
         cfg, state.vobj, settled,
         jnp.where(ok_place, (cidx + 1).astype(state.vobj.dtype), G.gather_voxel(cfg, state.vobj, settled)),
     )
-    vtype = G.set_voxel(
-        cfg, state.vtype, settled,
-        jnp.where(
-            ok_place,
-            G.gather_voxel(cfg, state.vtype, settled) | C.VOXEL_SOLID,
-            G.gather_voxel(cfg, state.vtype, settled),
-        ),
-    )
+    # masked coords (-1 -> dropped) so losing agents never scatter at all
+    cols = G.update_cols(
+        cfg, state.cols, jnp.where(ok_place[:, None], settled, -1), True)
     carried = jnp.where(ok_place, jnp.asarray(-1, agents.carried.dtype), agents.carried)
 
     state = state.replace(
-        vtype=vtype, vobj=vobj,
+        cols=cols, vobj=vobj,
         props=props.replace(pos=pp, scale=ps, flags=pf),
         agents=agents.replace(carried=carried),
     )
@@ -226,18 +221,12 @@ def object_stacking_step(
         cfg, state.vobj, pick_voxel,
         jnp.where(picked, 0, G.gather_voxel(cfg, state.vobj, pick_voxel)),
     )
-    vtype = G.set_voxel(
-        cfg, state.vtype, pick_voxel,
-        jnp.where(
-            picked,
-            G.gather_voxel(cfg, state.vtype, pick_voxel) & ~jnp.uint8(C.VOXEL_SOLID),
-            G.gather_voxel(cfg, state.vtype, pick_voxel),
-        ),
-    )
+    cols = G.update_cols(
+        cfg, state.cols, jnp.where(picked[:, None], pick_voxel, -1), False)
     carried = jnp.where(picked, pick_idx.astype(state.agents.carried.dtype), state.agents.carried)
 
     state = state.replace(
-        vtype=vtype, vobj=vobj,
+        cols=cols, vobj=vobj,
         props=props.replace(scale=ps, flags=pf),
         agents=state.agents.replace(carried=carried),
     )
@@ -266,8 +255,7 @@ def fall_detection_step(
     start = agents.spawn_pos - jnp.asarray([0.0, C.AGENT_HEIGHT, 0.0])  # pre-offset spawn
     voxel = G.world_to_voxel(cfg, start)
     for _ in range(max_up_scan):
-        vt = G.gather_voxel(cfg, state.vtype, voxel)
-        occupied = (vt & C.VOXEL_SOLID) != 0
+        occupied = G.solid_from_cols(cfg, state.cols, voxel)
         voxel = jnp.where(occupied[:, None], voxel + jnp.asarray([0, 1, 0]), voxel)
 
     # teleport: warp (kcc.cpp:509-517) zeroes velocities. The reference

@@ -158,7 +158,7 @@ class FootballScenario(Scenario):
 
         # floor/wall response: probe the voxel below and around the ball
         below = G.world_to_voxel(cfg, pos - jnp.asarray([0.0, BALL_RADIUS + 1e-3, 0.0]))
-        floor_hit = G.solid_at(cfg, state.vtype, below[None, :])[0] & (vel[1] < 0)
+        floor_hit = G.solid_from_cols(cfg, state.cols, below[None, :])[0] & (vel[1] < 0)
         floor_top = (below[1] + 1).astype(jnp.float32) * cfg.voxel_size + cfg.origin[1]
         pos = pos.at[1].set(jnp.where(floor_hit, floor_top + BALL_RADIUS, pos[1]))
         bounce_v = -vel[1] * RESTITUTION
@@ -170,7 +170,7 @@ class FootballScenario(Scenario):
         for axis in (0, 2):
             side = jnp.zeros(3).at[axis].set(jnp.sign(vel[axis]) * (BALL_RADIUS + 1e-3))
             probe = G.world_to_voxel(cfg, pos + side)
-            hit = G.solid_at(cfg, state.vtype, probe[None, :])[0]
+            hit = G.solid_from_cols(cfg, state.cols, probe[None, :])[0]
             vel = vel.at[axis].set(jnp.where(hit, -vel[axis] * RESTITUTION, vel[axis]))
             pos = pos.at[axis].set(jnp.where(hit, sc.ball_pos[axis], pos[axis]))
 

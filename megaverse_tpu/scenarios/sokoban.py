@@ -212,17 +212,15 @@ class SokobanScenario(Scenario):
                              jnp.where(push, 0, vobj))
         vobj_f = G.set_voxel(cfg, vobj_f, desired,
                              jnp.where(push, vobj, G.gather_voxel(cfg, vobj_f, desired)))
-        vt_src = G.gather_voxel(cfg, state.vtype, box_voxel)
-        vtype_f = G.set_voxel(cfg, state.vtype, box_voxel,
-                              jnp.where(push, vt_src & ~jnp.uint8(C.VOXEL_SOLID), vt_src))
-        vt_dst = G.gather_voxel(cfg, vtype_f, desired)
-        vtype_f = G.set_voxel(cfg, vtype_f, desired,
-                              jnp.where(push, vt_dst | C.VOXEL_SOLID, vt_dst))
+        cols_f = G.update_cols(
+            cfg, state.cols, jnp.where(push[:, None], box_voxel, -1), False)
+        cols_f = G.update_cols(
+            cfg, cols_f, jnp.where(push[:, None], desired, -1), True)
 
         props = state.props
         dpos = (delta.astype(jnp.float32)) * VOXEL
         new_pos = props.pos.at[box_idx].add(jnp.where(push[:, None], dpos, 0.0))
-        state = state.replace(vtype=vtype_f, vobj=vobj_f,
+        state = state.replace(cols=cols_f, vobj=vobj_f,
                               props=props.replace(pos=new_pos))
 
         # goal bookkeeping (cpp:209-226)

@@ -140,7 +140,11 @@ class AgentState(struct.PyTreeNode):
             vvel=jnp.zeros((a,), jnp.float32),
             hvel=jnp.zeros((a, 3), jnp.float32),
             jumping=jnp.zeros((a,), bool),
-            on_ground=jnp.zeros((a,), bool),
+            # Reference parity: onGround() is |vvel|<eps && |voffset|<eps
+            # (kcc.cpp:679-682) — TRUE for a freshly spawned controller even
+            # mid-air, so the first tick accelerates with the GROUND budget
+            # (50 m/s^2), not the 3 m/s^2 air budget (kcc_golden trace).
+            on_ground=jnp.ones((a,), bool),
             carried=jnp.full((a,), -1, jnp.int16),
             spawn_pos=jnp.zeros((a, 3), jnp.float32),
         )
@@ -156,11 +160,14 @@ class SceneData(struct.PyTreeNode):
     consumes; the voxel fields drive physics and game logic.
     """
 
-    # Voxel color lives host-side only (it exists to drive the greedy render-
-    # box merge); vterrain/vobj collapse to shape (1,1,1) for scenarios whose
-    # device logic never reads them — the per-step auto-reset select streams
-    # every grid field through HBM, so dead fields cost real bandwidth.
-    vtype: jax.Array    # uint8 [X,Y,Z] voxel bit flags (VOXEL_*)
+    # Voxel color and the raw vtype grid live host-side only (they drive the
+    # greedy render-box merge); device logic only ever reads the SOLID bit,
+    # which ships bit-PACKED as u32 columns (8x smaller than the u8 grid —
+    # the auto-reset select and physics scans are HBM-bound, so the packing
+    # is a direct bandwidth win). vterrain/vobj collapse to shape (1,1,1) for
+    # scenarios whose device logic never reads them.
+    cols: jax.Array     # uint32 [X, W, Z] packed SOLID columns (bit y%32 of
+                        # word y//32 = cell y; ops/grid.pack_solid_columns_np)
     vterrain: jax.Array  # uint8 [X,Y,Z] terrain bit flags (TERRAIN_*)
     vobj: jax.Array     # int16 [X,Y,Z] prop index + 1 occupying the voxel (0 = none)
     box_lo: jax.Array   # f32 [M,3] merged layout boxes (render), world coords
@@ -180,7 +187,7 @@ class EnvState(struct.PyTreeNode):
     """
 
     # Scene / layout
-    vtype: jax.Array
+    cols: jax.Array
     vterrain: jax.Array
     vobj: jax.Array
     box_lo: jax.Array
@@ -219,7 +226,7 @@ def state_from_scene(scene: SceneData, num_agents: int, rng: jax.Array) -> EnvSt
     )
     a = num_agents
     return EnvState(
-        vtype=scene.vtype,
+        cols=scene.cols,
         vterrain=scene.vterrain,
         vobj=scene.vobj,
         box_lo=scene.box_lo,

@@ -97,9 +97,21 @@ class VectorEnv:
         scen = self.scenario
 
         def _step(state, next_scene, action, shaping):
-            return env_step(scen, state, next_scene, action, shaping, render_obs=False)
+            return env_step(scen, state, next_scene, action, shaping,
+                            render_obs=False, defer_reset=True)
 
-        self._vstep_inner = jax.vmap(_step, in_axes=(0, 0, 0, 0))
+        _vstep_mapped = jax.vmap(_step, in_axes=(0, 0, 0, 0))
+
+        def _vstep_deferred(state, next_scenes, action, shaping):
+            from megaverse_tpu.env import apply_deferred_resets
+
+            res = _vstep_mapped(state, next_scenes, action, shaping)
+            # K-slot batched completion of the masked auto-reset (the layout-
+            # copy leaves were excluded from the per-env select; see env.py).
+            return res._replace(state=apply_deferred_resets(
+                res.state, next_scenes, res.done))
+
+        self._vstep_inner = _vstep_deferred
 
         # Render-table bucket: (max live boxes, max live props) across the
         # batch, tracked as a high-water mark over every layout generated so
@@ -193,10 +205,21 @@ class VectorEnv:
         dims = [box_cap] + seg_caps
         import os
 
+        # Size-class rendering is OFF by default on TPU: each refill reshuffles
+        # class-group sizes, and every novel (class, padded-size) combination
+        # is a fresh compile — measured as 100+ ms/step of compile stalls in
+        # sustained sampling (vs <40 ms/step of device work). The bit-walk
+        # kernel removed the padding cost classes existed to avoid (a padded
+        # row is a culled bit, not per-pixel work), so the flat bucketed path
+        # wins outright. MEGAVERSE_CLASSES=1 re-enables for comparison; the
+        # class machinery stays exercised by tests on CPU.
+        want_classes = (os.environ.get("MEGAVERSE_CLASSES") == "1"
+                        or (jax.default_backend() != "tpu"
+                            and not os.environ.get("MEGAVERSE_NO_CLASSES")))
         self._use_classes = (
             self.device is None
             and self.render_obs
-            and not os.environ.get("MEGAVERSE_NO_CLASSES")
+            and want_classes
             and sum(dims) >= self._CLASS_MIN_ROWS
             and self.num_envs >= 64
         )
@@ -336,36 +359,32 @@ class VectorEnv:
                 self._bucket = None
                 self._build_render_fns()
             return
-        # render_batch clips the bucket to the table capacities. The renderer
-        # is VPU-op-bound per table row, so tiny scenes use a fine quantum
-        # (Empty: 1 box -> 2 rows, 0 props -> 0 rows); past one chunk the
-        # quantum snaps to the renderer chunk size so bucket growth can
-        # trigger at most a handful of recompiles ever (each remote compile
-        # through a dev-TPU tunnel costs minutes — fine-grained high-water
-        # creep made large scenes uncompilable in practice).
-        from megaverse_tpu.ops.raycast import BOX_CHUNK, PROP_CHUNK
-
-        roundup = lambda n, q: ((max(int(n), 1) + q - 1) // q) * q
-
-        def quantize(n, chunk):
-            if n == 0:
+        # render_batch clips the bucket to the table capacities. Bucket sizes
+        # live on a coarse GEOMETRIC ladder with generous headroom: reset
+        # samples 2*B layouts, so the observed high-water estimates p100 well
+        # and later creep almost never crosses the next rung. This matters
+        # because every distinct bucket is a distinct compiled program: the
+        # round-2 fine-grained high-water creep caused mid-benchmark compile
+        # storms that dominated heavy-scene wall time (measured: ObstaclesEasy
+        # 198 ms/step of compile stalls on 38 ms/step of device work). With
+        # the bit-walk kernel, padded rows cost ~nothing in the kernel (dead
+        # clusters cull to zero bits), so coarse padding is cheap.
+        def quantize(n):
+            n = int(n)
+            if n <= 0:
                 return 0
-            if n <= 8:
-                return roundup(n, 2)
-            if n <= chunk:
-                return roundup(n, 8)
-            return roundup(n, chunk)
+            v = 8
+            while v < n:
+                v = (v * 3 + 1) // 2  # ratio 1.5 ladder: 8,12,18,27,...
+            return v
 
-        # Padding rows cost full per-pixel work, so headroom is mostly the
-        # quantum rounding itself; the small multiplicative slack just absorbs
-        # high-water creep between refills.
-        mb = max(1, quantize(self._hw_boxes * 1.1, BOX_CHUNK))
+        mb = max(1, quantize(self._hw_boxes * 1.25))
         if isinstance(self._hw_props, list):
-            pb = tuple(quantize(n * 1.1, PROP_CHUNK) for n in self._hw_props)
+            pb = tuple(quantize(n * 1.25) for n in self._hw_props)
             grew = (self._bucket is None or mb > self._bucket[0]
                     or any(a > b for a, b in zip(pb, self._bucket[1])))
         else:
-            pb = quantize(self._hw_props * 1.1, PROP_CHUNK)
+            pb = quantize(self._hw_props * 1.25)
             grew = (self._bucket is None or mb > self._bucket[0]
                     or pb > self._bucket[1])
         if grew:
@@ -523,12 +542,15 @@ class VectorEnv:
         it.
 
         Two execution modes:
-        - default: a Python loop of single jitted step dispatches. Dispatches
-          pipeline asynchronously, so device utilization stays high.
-        - MEGAVERSE_SCAN_STEPS=1: one jitted lax.scan (single dispatch for the
-          whole chunk). Preferable on real hardware; on the tunneled dev TPU
-          in this container, a Pallas call inside an XLA loop degrades to a
-          ~100 ms host round-trip per iteration, so it is off by default.
+        - real TPU hardware (and CPU tests): ONE jitted lax.scan — a single
+          dispatch for the whole chunk, matching the reference's one task
+          dispatch per step (vector_env.cpp:48-87). Forced with
+          MEGAVERSE_SCAN_STEPS=1.
+        - tunneled dev TPU (utils/platform.is_tunneled_tpu): a Python loop of
+          single jitted step dispatches, which pipeline asynchronously. On
+          the tunnel a Pallas call inside an XLA loop degrades to a ~100 ms
+          host round-trip per iteration, so the scan path is wrong THERE
+          only. Forced with MEGAVERSE_SCAN_STEPS=0.
 
         n_steps must stay below the shortest episode length in steps so a
         layout-buffer slot cannot be consumed twice within one chunk
@@ -549,7 +571,16 @@ class VectorEnv:
                 f"({min_ep_steps} steps): a layout-buffer slot could be "
                 f"consumed twice before refill; use smaller chunks")
 
-        if os.environ.get("MEGAVERSE_SCAN_STEPS") == "1":
+        scan_env = os.environ.get("MEGAVERSE_SCAN_STEPS")
+        if scan_env is not None:
+            use_scan = scan_env == "1"
+        else:
+            from megaverse_tpu.utils.platform import is_tunneled_tpu
+
+            # CPU stays on the loop path too: tests exercise both, and scan
+            # compile times on 2-core hosts dwarf any dispatch savings.
+            use_scan = jax.default_backend() == "tpu" and not is_tunneled_tpu()
+        if use_scan:
             return self._step_many_scan(jnp.asarray(action_pool, jnp.int32), n_steps)
 
         split = self._backend == "pallas" or self._use_classes

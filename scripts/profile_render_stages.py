@@ -63,15 +63,35 @@ def main() -> None:
     bucket = getattr(env, "_bucket", None)
     h, w = cfg.obs_height, cfg.obs_width
 
-    # Stage 0: tables (bucketed like render_batch does).
+    # Stage 0: tables (bucketed like VectorEnv's render path does).
     from megaverse_tpu.env import render_batch
 
     remaining = jnp.maximum(
         0.0, (states.episode_len_sec - states.episode_sec) / states.episode_len_sec)
     include_agents = cfg.num_agents > 1
 
+    def bucket_slice(states):
+        if bucket is None:
+            return states
+        mb, pb = bucket
+        segments = cfg.prop_segments
+        if segments:
+            counts = [min(int(k), cap)
+                      for k, (_, _, cap) in zip(pb, segments)]
+            keep = [(pt, s0, k)
+                    for (pt, s0, cap), k in zip(segments, counts) if k]
+            props = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x[:, s:s + k] for _, s, k in keep], axis=1), states.props)
+        else:
+            props = jax.tree.map(lambda x: x[:, :max(1, int(pb))], states.props)
+        return states.replace(
+            box_lo=states.box_lo[:, :mb], box_hi=states.box_hi[:, :mb],
+            box_color=states.box_color[:, :mb], props=props)
+
     @jax.jit
     def build(states, remaining):
+        states = bucket_slice(states)
         cams = jax.vmap(lambda s, tf: RP.build_cams(cfg, s.agents, tf))(
             states, remaining)
         prims = jax.vmap(
@@ -79,38 +99,38 @@ def main() -> None:
                 cfg, s.box_lo, s.box_hi, s.box_color, s.props, s.agents,
                 include_agent_rows=include_agents))(states)
         prims, clusters = jax.vmap(RP.build_clusters)(prims)
+        clusters, _ = jax.vmap(RP.build_superclusters)(clusters)
+        prims = jax.vmap(RP.pad_prims_to_clusters)(prims, clusters)
         return cams, prims, clusters
 
     @jax.jit
     def cull(cams, clusters):
-        clusters, sclusters = jax.vmap(RP.build_superclusters)(clusters)
-        order, dist = RP.frustum_cull(cams, sclusters, h, w)
-        return clusters, sclusters, order, dist
+        return RP.cull_bits(cams, clusters, h, w)
 
     merge = bool(os.environ.get("MEGAVERSE_MERGE_TILES"))
 
     @jax.jit
-    def kernel(cams, prims, clusters, sclusters, order, dist):
+    def kernel(cams, prims, clusters, sclist, clbits):
         return RP.render_packed(cams, prims, h, w, clusters=clusters,
-                                order=order, dist=dist, sclusters=sclusters,
+                                scbits=sclist, clbits=clbits,
                                 merge_tiles=merge)
 
     @jax.jit
     def full(states, remaining):
-        return render_batch(scen, states, fmt="packed", backend="pallas")
+        return render_batch(scen, states, fmt="packed", backend="pallas",
+                            bucket=bucket)
 
     ms_build, (cams, prims, clusters) = timeit(build, states, remaining,
                                                steps=args.steps)
-    ms_cull, (clusters, sclusters, order, dist) = timeit(
-        cull, cams, clusters, steps=args.steps)
-    ms_kernel, _ = timeit(kernel, cams, prims, clusters, sclusters, order,
-                          dist, steps=args.steps)
+    ms_cull, (sclist, clbits) = timeit(cull, cams, clusters, steps=args.steps)
+    ms_kernel, _ = timeit(kernel, cams, prims, clusters, sclist, clbits,
+                          steps=args.steps)
     ms_full, _ = timeit(full, states, remaining, steps=args.steps)
 
     n = args.num_envs * args.num_agents
-    print(f"prims={prims.shape} clusters={clusters.shape} order={order.shape}")
+    print(f"prims={prims.shape} clusters={clusters.shape} sclist={sclist.shape}")
     for name, ms in (("table+cluster build", ms_build),
-                     ("frustum cull+sort", ms_cull),
+                     ("cull_bits", ms_cull),
                      ("pallas kernel", ms_kernel),
                      ("full render_batch", ms_full)):
         print(f"{name:22s} {ms:8.3f} ms/step   {n / ms * 1e3:10.0f} obs/s-equiv")

@@ -118,3 +118,53 @@ def test_packed_columns_match_generic_queries():
     np.testing.assert_array_equal(np.asarray(cf1), np.asarray(cf2))
     np.testing.assert_array_equal(np.asarray(cy1)[np.asarray(cf1)],
                                   np.asarray(cy2)[np.asarray(cf2)])
+
+
+def test_cols_update_and_query_match_dense():
+    """solid_from_cols == (gather_voxel & SOLID) != 0, and update_cols on the
+    packed grid == set_voxel on the dense grid followed by a re-pack — the
+    invariant that lets EnvState carry ONLY the packed columns."""
+    rng = np.random.default_rng(3)
+    vt = (rng.random(CFG.dims) < 0.3).astype(np.uint8) * C.VOXEL_SOLID
+    vt |= (rng.random(CFG.dims) < 0.2).astype(np.uint8) * C.VOXEL_OPAQUE
+    vt = jnp.asarray(vt)
+    cols = G.pack_solid_columns(CFG, vt)
+    # host twin is bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(cols), G.pack_solid_columns_np(np.asarray(vt)))
+
+    # distinct cells, distinct even after set_voxel's OOB clipping (an OOB
+    # row clipping onto a written cell makes the DENSE reference scatter
+    # racy, not the packed path), plus fully-masked rows
+    raw = np.unique(rng.integers(-2, 18, size=(96, 3)), axis=0)
+    clipped = np.clip(raw, 0, np.asarray(CFG.dims) - 1)
+    _, first = np.unique(clipped, axis=0, return_index=True)
+    ii = jnp.asarray(np.concatenate(
+        [raw[np.sort(first)], np.full((4, 3), -1)]), jnp.int32)
+    want = (G.gather_voxel(CFG, vt, ii) & C.VOXEL_SOLID) != 0
+    np.testing.assert_array_equal(np.asarray(G.solid_from_cols(CFG, cols, ii)),
+                                  np.asarray(want))
+
+    for solid in (True, False):
+        flag = jnp.uint8(C.VOXEL_SOLID if solid else 0)
+        vt2 = G.set_voxel(
+            CFG, vt, ii,
+            (G.gather_voxel(CFG, vt, ii) & ~jnp.uint8(C.VOXEL_SOLID)) | flag)
+        cols2 = G.update_cols(CFG, cols, ii, solid)
+        np.testing.assert_array_equal(np.asarray(cols2),
+                                      np.asarray(G.pack_solid_columns(CFG, vt2)))
+    # masked coords (-1) are dropped
+    cols3 = G.update_cols(CFG, cols, jnp.full((4, 3), -1, jnp.int32), True)
+    np.testing.assert_array_equal(np.asarray(cols3), np.asarray(cols))
+
+
+def test_cols_update_same_word_different_bits():
+    """Two updates landing in the SAME packed word (one xz column, two
+    heights) must both apply — the scatter-order race a read-modify-write
+    scatter would introduce."""
+    cols = G.pack_solid_columns(CFG, jnp.zeros(CFG.dims, jnp.uint8))
+    ii = jnp.asarray([[3, 2, 5], [3, 6, 5]], jnp.int32)
+    cols2 = G.update_cols(CFG, cols, ii, True)
+    assert int(cols2[3, 0, 5]) == (1 << 2) | (1 << 6)
+    cols3 = G.update_cols(CFG, cols2, ii[:1], False)
+    assert int(cols3[3, 0, 5]) == (1 << 6)

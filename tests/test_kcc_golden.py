@@ -1,0 +1,153 @@
+"""Physics golden traces: ops/physics.py vs the reference KCC replica.
+
+tests/golden/kcc_golden.cpp replicates the reference's modified Bullet
+btKinematicCharacterController (kinematic_character_controller.cpp) phase for
+phase in float32 — the sweeps are analytic capsule-vs-AABB time-of-impact
+(the limit Bullet's GJK conservative advancement approximates). Its per-tick
+traces over unit-voxel-aligned worlds are the spec the batched voxel physics
+is held to here.
+
+Known, documented divergence sources (bounds asserted per scene; the
+measured maxima live in PARITY.md's physics-divergence table):
+ - wall contacts: the voxel sweep backs off by CLAMP_MARGIN (1e-3) where the
+   analytic sweep stops at exact touch -> mm-level position offsets;
+ - corners: the agent's AABB footprint vs the capsule's rounded corner ->
+   cm-level differences exactly at box corners (corner_stop scene);
+ - float32 accumulation drift across ticks.
+"""
+
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import megaverse_tpu.constants as C
+from megaverse_tpu.ops import grid as G
+from megaverse_tpu.ops import physics as P
+from megaverse_tpu.types import AgentState, GridConfig
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "golden", "kcc_golden.txt")
+DT = 1.0 / 15.0
+
+
+def parse_golden():
+    scenes = {}
+    cur = None
+    with open(GOLDEN) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("SCENE"):
+                parts = line.split()
+                name = parts[1]
+                yaw = float(parts[2].split("=")[1])
+                start = [float(v) for v in parts[3].split("=")[1].split(",")]
+                cur = {"yaw": yaw, "start": start, "rows": []}
+                scenes[name] = cur
+            elif line == "END":
+                cur = None
+            elif cur is not None and line:
+                cur["rows"].append([float(v) for v in line.split(",")])
+    for sc in scenes.values():
+        sc["rows"] = np.asarray(sc["rows"], np.float64)
+    return scenes
+
+
+# World definitions — must mirror kcc_golden.cpp's scenes exactly.
+FLOOR = (-20, -1, -20, 20, 0, 20)
+WORLDS = {
+    "flat_walk": [FLOOR],
+    "wall_glance": [FLOOR, (-20, 0, -4, 20, 3, -3)],
+    "corner_stop": [FLOOR, (-20, 0, -4, 20, 3, -3), (3, 0, -20, 4, 3, 20)],
+    "voxel_step_blocked": [FLOOR, (-20, 0, -6, 20, 1, -4)],
+    "jump_land": [FLOOR],
+    "ceiling_bump": [FLOOR, (-20, 2, -20, 20, 3, 20)],
+    "ledge_fall": [(-20, -1, -5, 20, 0, 20), (-20, -4, -20, 20, -3, -5)],
+}
+
+ACTIONS = {
+    "flat_walk": [C.ACTION_FORWARD] * 40 + [0] * 20,
+    "wall_glance": [C.ACTION_FORWARD] * 50,
+    "corner_stop": [C.ACTION_FORWARD] * 50,
+    "voxel_step_blocked": [C.ACTION_FORWARD] * 45,
+    "jump_land": [C.ACTION_FORWARD] * 10 + [C.ACTION_FORWARD | C.ACTION_JUMP]
+                 + [C.ACTION_FORWARD] * 30,
+    "ceiling_bump": [0] * 3 + [C.ACTION_JUMP] + [0] * 26,
+}
+ACTIONS["ledge_fall"] = [C.ACTION_FORWARD] * 55
+
+# Per-scene tolerance on position (meters). Face-contact scenes are tight
+# (float drift + the 1e-3 sweep margin); the corner scene allows the
+# capsule-vs-AABB footprint difference at the wall corner.
+POS_TOL = {
+    "flat_walk": 2e-4,
+    "wall_glance": 6e-3,
+    "corner_stop": 2.5e-2,
+    "voxel_step_blocked": 6e-3,
+    "jump_land": 2e-3,
+    "ceiling_bump": 6e-3,
+    # at the ledge edge the capsule's bottom SPHERE dips r - sqrt(r^2-d^2)
+    # (~2.3 cm) over the box edge before falling; the AABB footprint stays
+    # fully supported until the edge. Trajectories re-converge on landing
+    # (tick 28 matches exactly).
+    "ledge_fall": 2.5e-2,
+}
+
+
+def build_grid(boxes):
+    cfg = GridConfig(dims=(40, 8, 40), voxel_size=1.0, origin=(-20.0, -4.0, -20.0))
+    vt = np.zeros(cfg.dims, np.uint8)
+    for (x0, y0, z0, x1, y1, z1) in boxes:
+        ix = lambda v, o: int(round(v - o))
+        vt[ix(x0, -20):ix(x1, -20), ix(y0, -4):ix(y1, -4),
+           ix(z0, -20):ix(z1, -20)] |= C.VOXEL_SOLID
+    return cfg, jnp.asarray(vt)
+
+
+def run_python(name):
+    sc = parse_golden()[name]
+    cfg, vt = build_grid(WORLDS[name])
+    cols = G.pack_solid_columns(cfg, vt)
+    agents = AgentState.create(1).replace(
+        pos=jnp.asarray([sc["start"]], jnp.float32),
+        yaw=jnp.asarray([sc["yaw"]], jnp.float32),
+    )
+
+    @jax.jit
+    def tick(agents, action):
+        agents = P.apply_acceleration(agents, action, DT)
+        return P.player_step(cfg, None, agents, DT, cols=cols)
+
+    out = []
+    for a in ACTIONS[name]:
+        agents = tick(agents, jnp.asarray([a], jnp.int32))
+        out.append(np.concatenate([
+            np.asarray(agents.pos[0]),
+            np.asarray(agents.hvel[0])[[0, 2]],
+            [float(agents.vvel[0])],
+            [float(agents.on_ground[0])],
+        ]))
+    return sc, np.asarray(out, np.float64)
+
+
+@pytest.mark.parametrize("name", sorted(WORLDS))
+def test_kcc_golden_trace(name):
+    sc, got = run_python(name)
+    want = sc["rows"]
+    assert got.shape[0] == want.shape[0]
+    dpos = np.abs(got[:, 0:3] - want[:, 1:4]).max(axis=1)
+    worst = float(dpos.max())
+    tol = POS_TOL[name]
+    assert worst <= tol, (
+        f"{name}: max per-tick position divergence {worst:.5f} > {tol}"
+        f" (first offender tick {int(np.argmax(dpos))})")
+    # vertical velocity must track closely everywhere (it drives jump/fall
+    # gameplay); landing tick may differ by one at corner-tolerance scenes.
+    dv = np.abs(got[:, 5] - want[:, 6])
+    assert float(np.sort(dv)[-3]) <= 0.4, f"{name}: vvel diverges {dv.max():.4f}"
+    # onGround agreement except isolated transition ticks
+    og = np.abs(got[:, 6] - want[:, 8])
+    assert og.mean() <= 0.1, f"{name}: onGround disagrees on {og.mean():.0%} of ticks"

@@ -31,7 +31,7 @@ def test_towerbuilding_reference_stream_layout():
     np.testing.assert_array_equal(
         np.asarray(scene.scen.zone), [bz_x, bz_x + bz_l, bz_z, bz_z + bz_w])
     # floor occupies exactly length x width at y=0
-    vt = np.asarray(scene.vtype)
+    vt = np.asarray(scene.host_vtype)
     floor = (vt[:, 0, :] & C.VOXEL_SOLID) != 0
     assert floor[:length, :width].all()
     assert not floor[length:, :].any() and not floor[:, width:].any()
@@ -201,7 +201,7 @@ def test_collect_reference_stream_layout():
 
     # terrain heights: opaque landscape voxels above the floor per column
     # (movable boxes are solid but not opaque — exclude them)
-    vt = np.asarray(scene.vtype)
+    vt = np.asarray(scene.host_vtype)
     got_h = ((vt[1:length - 1, 1:, 1:width - 1] & C.VOXEL_OPAQUE) != 0).sum(1)
     np.testing.assert_array_equal(got_h.ravel(), heights)
 
@@ -293,7 +293,7 @@ def test_football_reference_stream_layout():
     assert episode_reseed(rng) == epseed
     scene = sc.generate_ref(rng)
 
-    vt = np.asarray(scene.vtype)
+    vt = np.asarray(scene.host_vtype)
     floor = (vt[:, 0, :] & C.VOXEL_SOLID) != 0
     assert floor[:length, :width].all()
     assert not floor[length:, :].any() and not floor[:, width:].any()
@@ -351,7 +351,7 @@ def test_rearrange_reference_stream_layout():
     np.testing.assert_array_equal(np.asarray(scene.agent_yaw, np.float32), yaws)
 
     # walls drawn per the golden randomBool
-    vt = np.asarray(scene.vtype)
+    vt = np.asarray(scene.host_vtype)
     assert bool((vt[0, 1:height, 1] & C.VOXEL_OPAQUE).any()) == bool(walls)
 
 

@@ -39,7 +39,8 @@ def test_generation_within_capacity(name):
     s = make_scenario(name, num_agents=4)
     for seed in range(3):
         sc = s.generate(np.random.default_rng(seed))
-        assert sc.vtype.shape == s.cfg.grid.dims
+        x, y, z = s.cfg.grid.dims
+        assert sc.cols.shape == (x, -(-y // 32), z)
         assert np.isfinite(np.asarray(sc.agent_spawn)).all()
         # agents spawn inside the grid bounds
         lo = np.asarray(s.cfg.grid.origin)
@@ -103,9 +104,10 @@ def test_stacking_pick_and_place():
     xs, ys, zs = np.nonzero(vobj)
     # choose a box with a free voxel at -x (so the agent can stand there)
     found = None
-    vt = np.asarray(state.vtype)
+    cols = np.asarray(state.cols)
+    solid = lambda x, y, z: (cols[x, y >> 5, z] >> (y & 31)) & 1
     for x, y, z in zip(xs, ys, zs):
-        if x >= 2 and vobj[x - 1, y, z] == 0 and not (vt[x - 1, y, z] & C.VOXEL_SOLID):
+        if x >= 2 and vobj[x - 1, y, z] == 0 and not solid(x - 1, y, z):
             found = (int(x), int(y), int(z))
             break
     assert found is not None
@@ -163,8 +165,9 @@ def test_boxagone_tile_expires():
         state = state.replace(agents=state.agents.replace(on_ground=jnp.asarray([True])))
     assert not bool(np.asarray(state.scen.tile_active)[t0])
     # voxel no longer solid
-    vt = np.asarray(state.vtype)[tuple(voxel)]
-    assert not (vt & C.VOXEL_SOLID)
+    cols = np.asarray(state.cols)
+    x, y, z = voxel
+    assert not ((cols[x, y >> 5, z] >> (y & 31)) & 1)
 
 
 def test_tower_reward_formula():
@@ -228,3 +231,23 @@ def test_hexexplore_solve():
     assert bool(np.asarray(state2.scen.solved))
     assert float(rew[0]) == pytest.approx(5.0)
     assert float(state2.true_objective[0]) == 1.0
+
+
+def test_boxagone_tile_height_deviation_is_reward_neutral():
+    """PARITY deviation: tiles here are full voxels (agents stand one voxel
+    HIGHER than on the reference's thin mid-voxel boxes). Proof of reward
+    neutrality: for every reachable level height h (first level h=1; later
+    levels h = 1 + randRange(2,4)·k >= 3, scenario_box_a_gone.cpp:58-67),
+    the touches-floor classification (coords.y < 3, cpp:106) and the armed
+    tile's identity agree between the two geometries."""
+    for h in [1, 3, 4, 5, 6, 7]:          # reachable level heights
+        ref_agent_voxel = int(np.floor((2 * h + 1 + 0.855) / 2.0))   # thin tile
+        my_agent_voxel = int(np.floor((2 * h + 2 + 0.855) / 2.0))    # voxel top
+        assert (ref_agent_voxel < 3) == (my_agent_voxel < 3), h
+        # armed tile: reference reads the agent's OWN voxel (cpp:117), we
+        # read one below the (one-higher) agent voxel -> the same tile cell
+        assert my_agent_voxel - 1 == ref_agent_voxel == h
+    # floor standing agrees too (floor slab occupies voxel y=0)
+    assert int(np.floor((2 + 0.855) / 2)) < 3
+    # h=2 is unreachable: second level = 1 + randRange(2,4) >= 3
+    assert all(1 + d >= 3 for d in (2, 3))
