@@ -69,8 +69,13 @@ def env_step(
     # was the single largest sim-side HBM term (ObstaclesHard: 671 MB/step at
     # 1024 envs).
     cols = state.cols
-    agents = P.player_step(cfg.grid, None, state.agents, dt, cols=cols)
-    agents = P.resolve_agent_collisions(agents, cfg.grid, None, cols=cols)
+    # Exact rotated-wall OBBs (hex mazes): scenario-provided, None elsewhere
+    # (trace-time constant, so non-hex scenarios compile no OBB code).
+    obbs = scenario.collision_obbs(state)
+    agents = P.player_step(cfg.grid, None, state.agents, dt, cols=cols,
+                           obbs=obbs)
+    agents = P.resolve_agent_collisions(agents, cfg.grid, None, cols=cols,
+                                        obbs=obbs)
     state = state.replace(agents=agents)
 
     # Scenario logic + rewards (env.cpp:131).
@@ -111,6 +116,27 @@ def env_step(
         obs = jnp.zeros((cfg.num_agents, cfg.obs_height, cfg.obs_width, 3), jnp.uint8)
 
     return StepResult(state, obs, reward, done, true_objective)
+
+
+def should_defer_reset(scenario) -> bool:
+    """Whether the K-slot deferred auto-reset pays for a scenario.
+
+    The deferred path replaces the per-step full select of the layout-copy
+    leaves with a sort + gather/scatter under a lax.cond; that bookkeeping
+    only wins when those leaves are big. Estimate their per-env footprint
+    from static capacities: grids dominate; below ~32 KB/env the plain
+    inline select is cheaper (Empty: ~3 KB, Sokoban: ~3 KB)."""
+    cfg = scenario.cfg
+    x, y, z = cfg.grid.dims
+    cells = x * y * z
+    approx = 4 * x * (-(-y // 32)) * z            # packed cols
+    if cfg.needs_terrain_grid:
+        approx += cells                            # vterrain u8
+    if cfg.needs_object_grid:
+        approx += 2 * cells                        # vobj i16
+    approx += int(scenario.max_boxes) * 28         # box_lo/hi f32 + color
+    approx += int(cfg.max_props) * 44              # PropState rows
+    return approx > 32 * 1024
 
 
 def apply_deferred_resets(state, next_scenes, done, max_slots: int = 32):

@@ -226,11 +226,17 @@ def player_step(
     agents: AgentState,
     dt: float,
     cols: jax.Array = None,
+    obbs: jax.Array = None,
 ) -> AgentState:
     """One physics tick for all agents (ref playerStep, kcc.cpp:528-602).
 
     `cols` (grid.pack_solid_columns(cfg, vtype)) may be passed in to share
-    the packed solid-column grid across physics calls in one env step."""
+    the packed solid-column grid across physics calls in one env step.
+    `obbs` [W, 7] adds exact y-rotated wall boxes (hex mazes) to the world:
+    horizontal blocking via capsule-vs-OBB push-out after the grid slide
+    (the momentum arrest then sees the corrected travel, like the
+    reference's in-sweep wall hits) and landing support from wall tops in
+    the stepDown phase."""
     if cols is None:
         cols = G.pack_solid_columns(cfg, vtype)
     pos0 = agents.pos
@@ -272,8 +278,11 @@ def player_step(
     voffset = jnp.where(hit_ceiling_rising, 0.0, voffset)
 
     # --- stepForwardAndStrafe (kcc.cpp:337-393), iterative sweep-slide ---
+    pre_slide = pos
     pos = _slide_horizontal(cfg, cols, pos,
                             agents.hvel[..., 0] * dt, agents.hvel[..., 2] * dt)
+    if obbs is not None:
+        pos = _obb_push_xz(pos, obbs, pre_slide)
 
     # --- stepDown (kcc.cpp:400-442) ---
     down_vel = jnp.where(vvel < 0, -vvel, 0.0)
@@ -288,6 +297,13 @@ def player_step(
         pos[..., 2] - HALF_XZ, pos[..., 2] + HALF_XZ,
         bottom, MAX_DROP, _span_xz(cfg),
     )
+    if obbs is not None:
+        # wall tops are floor candidates too (landing on maze walls)
+        otop, ofound = obb_floor_support(pos, obbs)
+        ok = ofound & (otop <= bottom + CLAMP_MARGIN)
+        better = ok & (~floor_found | (otop > floor_y))
+        floor_y = jnp.where(better, otop, floor_y)
+        floor_found = floor_found | ok
     # Land if a floor top lies within the drop distance below (or at) the capsule
     # bottom.
     land = floor_found & (floor_y >= bottom - drop)
@@ -313,9 +329,129 @@ def player_step(
     return agents.replace(pos=pos, vvel=vvel, hvel=hvel, jumping=jumping, on_ground=on_ground)
 
 
+def _obb_local_xz(pos, obbs):
+    """World XZ -> per-wall local (u: along length, v: along thickness).
+
+    pos [..., 3], obbs [W, 7] (cx, cy, cz, hx, hy, hz, yaw) ->
+    (u, v) each [..., W]. Same rotation convention as the renderer's
+    PRIM_ROTBOX (ops/raycast_pallas.prim_rotbox) and the reference's
+    layoutBox.rotateY (component_hexagonal_maze.cpp:107)."""
+    cy_ = jnp.cos(obbs[:, 6])
+    sy_ = jnp.sin(obbs[:, 6])
+    ox = pos[..., 0:1] - obbs[:, 0]
+    oz = pos[..., 2:3] - obbs[:, 2]
+    u = cy_ * ox - sy_ * oz
+    v = sy_ * ox + cy_ * oz
+    return u, v
+
+
+def resolve_obb_walls(agents: AgentState, obbs: jax.Array,
+                      prev_pos: jax.Array = None,
+                      iters: int = 3, dt: float = C.DEFAULT_DT) -> AgentState:
+    """Exact capsule-vs-rotated-wall horizontal collision.
+
+    The reference collides agents with y-rotated Bullet boxes for hex-maze
+    walls (component_hexagonal_maze.cpp:79-113 — ONLY the main wall box gets
+    a RigidBody; landmarks and edging are drawables). Here the walls are
+    resolved analytically AFTER the axis-aligned grid sweep: per iteration
+    each agent is pushed out of its deepest-penetrating wall along the
+    capsule(circle r)-vs-rectangle contact normal, which reproduces the
+    sweep-slide's tangential behavior for one-tick displacements.
+
+    obbs [W, 7] rows (cx, cy, cz, hx, hy, hz, yaw); dead rows: hy < 0 (any
+    row whose vertical span cannot overlap is inert). `prev_pos` (positions
+    before the horizontal move) disambiguates the push side when a fast
+    perpendicular step carries the center past the wall midplane (wall
+    thickness 0.3 vs max 0.3 m/tick)."""
+    if obbs.shape[0] == 0:
+        return agents
+    if prev_pos is None:
+        prev_pos = agents.pos
+    pos = _obb_push_xz(agents.pos, obbs, prev_pos, iters)
+    moved = jnp.any(jnp.abs(pos - agents.pos) > 0, axis=-1)
+    # a wall stop arrests the horizontal momentum the same way playerStep
+    # derives it from actual travel (kcc.cpp:576-578): fold the push into
+    # the tick's displacement-velocity
+    delta = (pos - agents.pos) / dt
+    hvel = (agents.hvel + delta).at[..., 1].set(0.0)
+    hvel = jnp.where(moved[..., None], hvel, agents.hvel)
+    return agents.replace(pos=pos, hvel=hvel)
+
+
+def _obb_push_xz(pos: jax.Array, obbs: jax.Array, prev_pos: jax.Array,
+                 iters: int = 3) -> jax.Array:
+    """Positional core of resolve_obb_walls: push capsule centers out of
+    rotated walls (deepest wall per iteration). Used directly inside
+    player_step so the final momentum arrest sees the corrected travel."""
+    r = HALF_XZ
+    _, v_prev = _obb_local_xz(prev_pos, obbs)           # [A, W]
+    side_prev = jnp.where(v_prev >= 0, 1.0, -1.0)
+
+    for _ in range(iters):
+        u, v = _obb_local_xz(pos, obbs)
+        hx, hy = obbs[:, 3], obbs[:, 4]
+        hv = obbs[:, 5]
+        bottom = pos[..., 1:2] - HALF_Y
+        top = pos[..., 1:2] + HALF_Y
+        v_overlap = (bottom < obbs[:, 1] + hy) & (top > obbs[:, 1] - hy)
+
+        cu = jnp.clip(u, -hx, hx)
+        cv = jnp.clip(v, -hv, hv)
+        du = u - cu
+        dv = v - cv
+        dist = jnp.sqrt(du * du + dv * dv)
+        inside = (jnp.abs(u) <= hx) & (jnp.abs(v) <= hv)
+        pen_out = jnp.maximum(r - dist, 0.0)            # outside-rect case
+        pen_in = hv + r - side_prev * v                 # crossed/inside case
+        pen = jnp.where(inside, pen_in, pen_out)
+        pen = jnp.where(v_overlap & (hy > 0), pen, 0.0)  # [A, W]
+
+        w = jnp.argmax(pen, axis=-1)                    # deepest wall per agent
+        p = jnp.take_along_axis(pen, w[..., None], axis=-1)[..., 0]
+        live = p > 1e-6
+        aw = lambda x: jnp.take_along_axis(x, w[..., None], axis=-1)[..., 0]
+        # contact normal in wall frame
+        d_safe = jnp.maximum(aw(dist), 1e-9)
+        nu = jnp.where(aw(inside), 0.0, aw(du) / d_safe)
+        nv = jnp.where(aw(inside), aw(side_prev), aw(dv) / d_safe)
+        # degenerate exact-touch: push along prev side of the thickness axis
+        degen = (~aw(inside)) & (aw(dist) < 1e-9)
+        nu = jnp.where(degen, 0.0, nu)
+        nv = jnp.where(degen, aw(side_prev), nv)
+        cyw = jnp.cos(obbs[:, 6])[w]
+        syw = jnp.sin(obbs[:, 6])[w]
+        px = cyw * nu + syw * nv
+        pz = -syw * nu + cyw * nv
+        push = jnp.stack([px, jnp.zeros_like(px), pz], axis=-1)
+        pos = pos + jnp.where(live[..., None], push * p[..., None], 0.0)
+    return pos
+
+
+def obb_floor_support(pos_xz_y, obbs):
+    """Highest wall-top floor candidate under each agent.
+
+    pos_xz_y [..., 3] (capsule centers), obbs [W, 7] ->
+    (top_y [...], found [...]): the max cy+hy over walls whose rectangle is
+    within the capsule radius horizontally. The stepDown phase combines this
+    with the voxel-grid floor scan so agents can LAND ON and stand on maze
+    walls, exactly as Bullet's capsule-vs-box sweep allows (jump apex 1.2 m
+    clears the 0.85-1.4 m walls)."""
+    if obbs.shape[0] == 0:
+        z = jnp.zeros(pos_xz_y.shape[:-1], jnp.float32)
+        return z, jnp.zeros(pos_xz_y.shape[:-1], bool)
+    u, v = _obb_local_xz(pos_xz_y, obbs)
+    du = u - jnp.clip(u, -obbs[:, 3], obbs[:, 3])
+    dv = v - jnp.clip(v, -obbs[:, 5], obbs[:, 5])
+    near = (du * du + dv * dv < HALF_XZ * HALF_XZ) & (obbs[:, 4] > 0)
+    top = obbs[:, 1] + obbs[:, 4]
+    best = jnp.max(jnp.where(near, top, -jnp.inf), axis=-1)
+    return best, jnp.isfinite(best)
+
+
 def resolve_agent_collisions(agents: AgentState, cfg: GridConfig = None,
                              vtype: jax.Array = None,
-                             cols: jax.Array = None) -> AgentState:
+                             cols: jax.Array = None,
+                             obbs: jax.Array = None) -> AgentState:
     """Pairwise capsule-capsule horizontal push-out.
 
     Replaces agent-vs-agent sweep collisions + penetration recovery
@@ -348,4 +484,6 @@ def resolve_agent_collisions(agents: AgentState, cfg: GridConfig = None,
     if cols is None:
         cols = G.pack_solid_columns(cfg, vtype)
     new_pos = _slide_horizontal(cfg, cols, pos, push[..., 0], push[..., 2])
+    if obbs is not None:
+        new_pos = _obb_push_xz(new_pos, obbs, pos)
     return agents.replace(pos=new_pos)

@@ -117,17 +117,21 @@ class Learner:
         self, ls: LearnerState, next_scenes: SceneData, shaping: jax.Array
     ) -> Tuple[LearnerState, RolloutBatch]:
         scen = self.scenario
-        from megaverse_tpu.env import apply_deferred_resets
+        from megaverse_tpu.env import apply_deferred_resets, should_defer_reset
 
+        defer = should_defer_reset(scen)
         vstep_mapped = jax.vmap(
             functools.partial(env_step, scen, render_obs=False,
-                              defer_reset=True), in_axes=(0, 0, 0, 0)
+                              defer_reset=defer), in_axes=(0, 0, 0, 0)
         )
 
-        def vstep(env_state, scenes, mask, shaping):
-            res = vstep_mapped(env_state, scenes, mask, shaping)
-            return res._replace(state=apply_deferred_resets(
-                res.state, scenes, res.done))
+        if defer:
+            def vstep(env_state, scenes, mask, shaping):
+                res = vstep_mapped(env_state, scenes, mask, shaping)
+                return res._replace(state=apply_deferred_resets(
+                    res.state, scenes, res.done))
+        else:
+            vstep = vstep_mapped
 
         init_carry = ls.carry
 

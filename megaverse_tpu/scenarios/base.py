@@ -397,6 +397,13 @@ class Scenario:
     def grid_config(self) -> GridConfig:
         raise NotImplementedError
 
+    def collision_obbs(self, state) -> "Optional[Any]":
+        """Per-env y-rotated collision boxes [W, 7] (cx, cy, cz, hx, hy, hz,
+        yaw) for scenarios whose walls are exact rotated bodies in the
+        reference (hex mazes, component_hexagonal_maze.cpp:79-113), or None.
+        Rows with hy <= 0 are inert padding."""
+        return None
+
     def default_params(self) -> Dict[str, float]:
         # ref scenario.hpp:225-231
         return {

@@ -8,9 +8,12 @@ honeycomb, scale 3.5, random wall height 0.85-1.4, random wall-omission
 probability, landmark decorations, colored edging).
 
 Maze walls are y-rotated thin boxes: rendered as PROP_ROTBOX primitives and
-voxelized (conservatively, by sampling along the segment) into the collision
-grid — the reference uses exact Bullet boxes, so wall collision here is
-about one voxel coarse.
+collided EXACTLY via per-env OBB tables (player_step(obbs=...):
+capsule-vs-rotated-box push-out after the grid slide, plus wall-top landing
+support) — matching the reference's Bullet wall bodies
+(component_hexagonal_maze.cpp:109-113; only the main wall box collides,
+landmarks/edging are drawables). This replaced the round-2 conservative
+voxelization, which blocked agents about one voxel early.
 """
 
 from __future__ import annotations
@@ -71,12 +74,15 @@ def add_shape(scene: HostScene, shape: int, color: int, loc, scale) -> int:
 
 def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
                max_size: int, omit_min: float, omit_max: float):
-    """Generate the maze into the scene; returns (maze, size).
+    """Generate the maze into the scene; returns (maze, size, wall_obbs).
 
     Mirrors HexagonalMazeComponent::reset + addDrawablesAndCollisions. Wall
-    and landmark props draw from the ROTBOX segment; collision voxelization
-    is unconditional, so running out of render rows never changes physics.
-    """
+    and landmark props draw from the ROTBOX segment; collision is a list of
+    EXACT y-rotated wall boxes (cx, cy, cz, hx, hy, hz, yaw) resolved by the
+    physics OBB pass — matching the reference, where only the main wall box
+    gets a RigidBody (cpp:109-113; landmarks and edging are drawables only).
+    The OBB list is unconditional, so running out of render rows never
+    changes physics."""
     size = int(rng.integers(min_size, max_size))
     maze = HoneycombMaze(size, rng)
     wall_height = rng.random() * 0.55 + 0.85
@@ -97,15 +103,7 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
     scene.fill_box_voxels(imin, imax, C.VOXEL_SOLID, color=0)
 
     walls = maze_walls(maze, rng, omit_p)
-    g = scene.cfg.grid
-    wall_rows = int(np.ceil(2 * wall_height))
-    iy0 = int(np.floor((0.0 - g.origin[1]) / g.voxel_size))
-    from megaverse_tpu.utils import native
-
-    segs_scaled = np.asarray(walls, np.float64) * MAZE_SCALE if walls else np.zeros((0, 4))
-    native_vox = native.voxelize_segments(
-        scene.vtype, segs_scaled, g.origin[0], g.origin[2], g.voxel_size,
-        iy0, wall_rows)
+    wall_obbs = []
     for (x1, z1, x2, z2) in walls:
         x1, z1, x2, z2 = (c * MAZE_SCALE for c in (x1, z1, x2, z2))
         seg = np.hypot(x1 - x2, z1 - z2)
@@ -142,29 +140,38 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
             scene.add_prop(C.PROP_ROTBOX, (cx, e_scale[1], cz), e_scale,
                            bottom_edging_color, yaw=rot_y)
 
-        if not native_vox:
-            # numpy fallback: sample along the segment
-            n_samples = max(int(seg / (g.voxel_size * 0.4)) + 1, 2)
-            ts = np.linspace(0.0, 1.0, n_samples)
-            sx = x1 + (x2 - x1) * ts
-            sz = z1 + (z2 - z1) * ts
-            ix = np.floor((sx - g.origin[0]) / g.voxel_size).astype(np.int64)
-            iz = np.floor((sz - g.origin[2]) / g.voxel_size).astype(np.int64)
-            for xx, zz in zip(ix, iz):
-                if 0 <= xx < g.dims[0] and 0 <= zz < g.dims[2]:
-                    scene.vtype[xx, iy0:iy0 + wall_rows, zz] |= C.VOXEL_SOLID
+        # exact collision body (cpp:109-113): center at wallTranslation,
+        # half extents (length, wallHeight, 0.15)
+        wall_obbs.append((cx, wall_height, cz, half_len, wall_height, 0.15,
+                          rot_y))
 
-    return maze, size
+    return maze, size, wall_obbs
 
 
 # ---------------------------------------------------------------------------
 # HexExplore
 # ---------------------------------------------------------------------------
 
+# Fixed capacity of the per-env wall-OBB table (max measured walls at maze
+# size 8 is ~364; generation asserts). Padding rows carry hy = -1 (inert).
+WALL_OBB_MAX = 420
+
+
+def pad_wall_obbs(wall_obbs) -> np.ndarray:
+    obbs = np.zeros((WALL_OBB_MAX, 7), np.float32)
+    obbs[:, 4] = -1.0
+    if wall_obbs:
+        arr = np.asarray(wall_obbs, np.float32)
+        assert arr.shape[0] <= WALL_OBB_MAX, arr.shape
+        obbs[: arr.shape[0]] = arr
+    return obbs
+
+
 class HexExploreState(struct.PyTreeNode):
     reward_pos: jax.Array   # f32 [3] world
     reward_prop: jax.Array  # i32 (top cone of the diamond)
     solved: jax.Array       # bool
+    wall_obbs: jax.Array    # f32 [WALL_OBB_MAX, 7] exact collision walls
 
 
 class HexExploreScenario(Scenario):
@@ -181,9 +188,12 @@ class HexExploreScenario(Scenario):
     def _reward_shaping(self) -> Dict[str, float]:
         return {K_EXPLORE: 5.0}
 
+    def collision_obbs(self, state):
+        return state.scen.wall_obbs
+
     def generate(self, rng: np.random.Generator) -> SceneData:
         scene = HostScene(self.cfg)
-        maze, size = build_maze(scene, rng, 2, 8, 0.1, 0.4)
+        maze, size, wall_obbs = build_maze(scene, rng, 2, 8, 0.1, 0.4)
 
         cell = int(rng.integers(0, len(maze.cells)))
         cx, cz = maze.centers[cell] * MAZE_SCALE
@@ -215,6 +225,7 @@ class HexExploreScenario(Scenario):
             reward_pos=reward_pos,
             reward_prop=np.int32(top),
             solved=np.asarray(False),
+            wall_obbs=pad_wall_obbs(wall_obbs),
         )
         return scene.finish(self.max_boxes, scen=scen)
 
@@ -266,6 +277,7 @@ class HexMemoryState(struct.PyTreeNode):
     num_good: jax.Array     # i32
     good_collected: jax.Array  # i32
     solved: jax.Array       # bool
+    wall_obbs: jax.Array    # f32 [WALL_OBB_MAX, 7] exact collision walls
 
 
 class HexMemoryScenario(Scenario):
@@ -288,9 +300,12 @@ class HexMemoryScenario(Scenario):
     def _reward_shaping(self) -> Dict[str, float]:
         return {K_MEM_GOOD: 1.0, K_MEM_BAD: -1.0}
 
+    def collision_obbs(self, state):
+        return state.scen.wall_obbs
+
     def generate(self, rng: np.random.Generator) -> SceneData:
         scene = HostScene(self.cfg)
-        maze, size = build_maze(scene, rng, 2, 8, 0.1, 0.95)
+        maze, size, wall_obbs = build_maze(scene, rng, 2, 8, 0.1, 0.95)
 
         # center cell = landmark (scenario_hex_memory.cpp:40-53)
         d2 = np.sum(maze.centers ** 2, axis=1)
@@ -370,6 +385,7 @@ class HexMemoryScenario(Scenario):
             num_good=np.int32(n_good_actual),
             good_collected=np.int32(0),
             solved=np.asarray(False),
+            wall_obbs=pad_wall_obbs(wall_obbs),
         )
         return scene.finish(self.max_boxes, scen=scen)
 

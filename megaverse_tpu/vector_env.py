@@ -95,23 +95,28 @@ class VectorEnv:
         )
 
         scen = self.scenario
+        from megaverse_tpu.env import apply_deferred_resets, should_defer_reset
+
+        defer = should_defer_reset(scen)
 
         def _step(state, next_scene, action, shaping):
             return env_step(scen, state, next_scene, action, shaping,
-                            render_obs=False, defer_reset=True)
+                            render_obs=False, defer_reset=defer)
 
         _vstep_mapped = jax.vmap(_step, in_axes=(0, 0, 0, 0))
 
-        def _vstep_deferred(state, next_scenes, action, shaping):
-            from megaverse_tpu.env import apply_deferred_resets
+        if defer:
+            def _vstep_inner(state, next_scenes, action, shaping):
+                res = _vstep_mapped(state, next_scenes, action, shaping)
+                # K-slot batched completion of the masked auto-reset (the
+                # layout-copy leaves were excluded from the per-env select;
+                # see env.py).
+                return res._replace(state=apply_deferred_resets(
+                    res.state, next_scenes, res.done))
 
-            res = _vstep_mapped(state, next_scenes, action, shaping)
-            # K-slot batched completion of the masked auto-reset (the layout-
-            # copy leaves were excluded from the per-env select; see env.py).
-            return res._replace(state=apply_deferred_resets(
-                res.state, next_scenes, res.done))
-
-        self._vstep_inner = _vstep_deferred
+            self._vstep_inner = _vstep_inner
+        else:
+            self._vstep_inner = _vstep_mapped
 
         # Render-table bucket: (max live boxes, max live props) across the
         # batch, tracked as a high-water mark over every layout generated so
@@ -373,6 +378,11 @@ class VectorEnv:
             n = int(n)
             if n <= 0:
                 return 0
+            if n <= 8:
+                # tiny tables: fine quantum (only 4 possible shapes, so no
+                # churn risk) — every padded row is pure per-pixel cost for
+                # the unroll renderer (Empty: 2 live rows, not 8)
+                return n + (n & 1)
             v = 8
             while v < n:
                 v = (v * 3 + 1) // 2  # ratio 1.5 ladder: 8,12,18,27,...

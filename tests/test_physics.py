@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import megaverse_tpu.constants as C
+from megaverse_tpu.ops import grid as G
 from megaverse_tpu.ops import physics as P
 from megaverse_tpu.types import AgentState, GridConfig
 
@@ -277,3 +278,87 @@ def test_air_control_speed_caps_at_max_air_speed():
     dt_a = C.KCC_MAX_AIR_ACCELERATION * DT
     exp = [min(dt_a * (k + 1), C.KCC_MAX_AIR_SPEED) for k in range(5)]
     np.testing.assert_allclose(speeds[:5], exp, atol=1e-4)
+
+
+def test_obb_wall_blocks_at_capsule_radius():
+    """Walking head-on into a rotated wall stops with the capsule axis at
+    (thickness/2 + r) from the wall midplane — the reference's Bullet
+    capsule-vs-box contact distance (component_hexagonal_maze.cpp:109-113),
+    not the voxel boundary."""
+    import megaverse_tpu.constants as C
+    from megaverse_tpu.types import AgentState, GridConfig
+
+    cfg = GridConfig(dims=(16, 8, 16), voxel_size=1.0, origin=(-8.0, -2.0, -8.0))
+    vt = np.zeros(cfg.dims, np.uint8)
+    vt[:, 1, :] = C.VOXEL_SOLID  # floor top at y=0
+    vt = jnp.asarray(vt)
+    cols = G.pack_solid_columns(cfg, vt)
+    yaw_w = 0.6
+    # wall through the origin, rotated by yaw_w, half extents (4, 1.0, 0.15)
+    obbs = jnp.asarray([[0.0, 1.0, 0.0, 4.0, 1.0, 0.15, yaw_w]], jnp.float32)
+
+    # start 3 m away along the wall NORMAL, walk straight at it
+    n = np.array([np.sin(yaw_w), 0.0, np.cos(yaw_w)])  # thickness axis (v)
+    start = np.array([3.0 * n[0], 0.855, 3.0 * n[2]], np.float32)
+    # face the wall: forward = (-sin yaw_a, -cos yaw_a) = -n
+    yaw_a = np.arctan2(n[0], n[2])
+    a = AgentState.create(1).replace(pos=jnp.asarray([start]),
+                                     yaw=jnp.asarray([yaw_a], jnp.float32))
+    act = jnp.asarray([C.ACTION_FORWARD], jnp.int32)
+    for _ in range(30):
+        a = P.apply_acceleration(a, act, 1 / 15.0)
+        a = P.player_step(cfg, None, a, 1 / 15.0, cols=cols, obbs=obbs)
+    # signed distance of the axis from the wall midplane
+    d = float(np.asarray(a.pos)[0] @ n)
+    assert 0.15 + P.HALF_XZ - 0.02 <= d <= 0.15 + P.HALF_XZ + 0.05, d
+    # still on the floor, still on the approach side
+    assert abs(float(a.pos[0, 1]) - 0.855) < 1e-3
+
+
+def test_obb_wall_glancing_slides():
+    """A 45-degree approach must SLIDE along the wall (tangential motion
+    continues), not stick."""
+    import megaverse_tpu.constants as C
+    from megaverse_tpu.types import AgentState, GridConfig
+
+    cfg = GridConfig(dims=(16, 8, 16), voxel_size=1.0, origin=(-8.0, -2.0, -8.0))
+    vt = np.zeros(cfg.dims, np.uint8)
+    vt[:, 1, :] = C.VOXEL_SOLID
+    cols = G.pack_solid_columns(cfg, jnp.asarray(vt))
+    obbs = jnp.asarray([[0.0, 1.0, 0.0, 6.0, 1.0, 0.15, 0.0]], jnp.float32)
+    # wall normal is +z (yaw 0): approach from +z moving -z and -x
+    a = AgentState.create(1).replace(
+        pos=jnp.asarray([[2.0, 0.855, 2.0]], jnp.float32),
+        yaw=jnp.asarray([np.pi / 4], jnp.float32))  # forward = (-sin, -cos)
+    act = jnp.asarray([C.ACTION_FORWARD], jnp.int32)
+    xs = []
+    for _ in range(30):
+        a = P.apply_acceleration(a, act, 1 / 15.0)
+        a = P.player_step(cfg, None, a, 1 / 15.0, cols=cols, obbs=obbs)
+        xs.append(float(a.pos[0, 0]))
+    # pressed against the wall in z...
+    assert abs(float(a.pos[0, 2]) - (0.15 + P.HALF_XZ)) < 0.05
+    # ...but still moving tangentially (x decreased substantially)
+    assert xs[-1] < -1.0, xs[-1]
+
+
+def test_obb_wall_landing_on_top():
+    """Falling onto a wall top lands and stands on it (Bullet capsule-vs-box
+    floor support; walls 0.85-1.4 m are reachable at the 1.2 m jump apex)."""
+    import megaverse_tpu.constants as C
+    from megaverse_tpu.types import AgentState, GridConfig
+
+    cfg = GridConfig(dims=(16, 8, 16), voxel_size=1.0, origin=(-8.0, -2.0, -8.0))
+    vt = np.zeros(cfg.dims, np.uint8)
+    vt[:, 1, :] = C.VOXEL_SOLID
+    cols = G.pack_solid_columns(cfg, jnp.asarray(vt))
+    obbs = jnp.asarray([[0.0, 1.0, 0.0, 4.0, 1.0, 0.15, 0.3]], jnp.float32)
+    # drop from just above the wall top (top at y=2)
+    a = AgentState.create(1).replace(
+        pos=jnp.asarray([[0.0, 2.0 + 0.855 + 0.4, 0.0]], jnp.float32))
+    idle = jnp.zeros((1,), jnp.int32)
+    for _ in range(12):
+        a = P.apply_acceleration(a, idle, 1 / 15.0)
+        a = P.player_step(cfg, None, a, 1 / 15.0, cols=cols, obbs=obbs)
+    assert bool(a.on_ground[0])
+    np.testing.assert_allclose(float(a.pos[0, 1]), 2.0 + 0.855, atol=2e-2)
