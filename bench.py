@@ -92,10 +92,15 @@ def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
         pool |= np.asarray(bits, np.int32)[md[..., h]]
 
     # Warmup (compiles every program incl. the refill path; remote compiles
-    # through the dev-TPU tunnel take minutes, so warm thoroughly).
+    # through the dev-TPU tunnel take minutes, so warm thoroughly). The
+    # second flush exercises a refill with a one-chunk done count, which
+    # compiles the slot-padded scatter program the timed chunks will use.
     for _ in range(2):
         _, dones, csums = env.step_many(pool, chunk)
         jax.block_until_ready(csums[-1])
+    env.flush()
+    _, dones, csums = env.step_many(pool, chunk)
+    jax.block_until_ready(csums[-1])
     env.flush()
 
     # Timing fence: fetch the checksum VALUE, not just block_until_ready —

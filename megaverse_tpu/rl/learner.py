@@ -49,6 +49,13 @@ class TrainConfig:
     reward_clip: float = 30.0   # clamp |reward| before the update (SF --reward_clip)
     num_epochs: int = 1         # PPO epochs over each rollout (SF --ppo_epochs)
     num_minibatches: int = 1    # env-axis minibatches per epoch (SF num_batches_per_epoch)
+    # Schedules (both need total_env_steps > 0): lr decays linearly
+    # lr -> lr_final over the run; the exploration coefficient anneals
+    # exploration_coeff -> exploration_final with training progress
+    # (prevents the premature entropy collapse seen in the round-2 demo).
+    lr_final: float = -1.0      # < 0: constant lr
+    exploration_final: float = -1.0  # < 0: constant coefficient
+    total_env_steps: float = 0.0
     hidden_size: int = 512
     use_rnn: bool = True
     rnn_num_layers: int = 2     # reference runs: --rnn_num_layers=2
@@ -96,7 +103,14 @@ class Learner:
                                  rnn_num_layers=cfg.rnn_num_layers)
         clip = ([optax.clip_by_global_norm(cfg.max_grad_norm)]
                 if cfg.max_grad_norm > 0 else [])
-        self.tx = optax.chain(*clip, optax.adam(cfg.lr))
+        lr = cfg.lr
+        if cfg.lr_final >= 0.0 and cfg.total_env_steps > 0:
+            # linear decay over the planned number of optimizer updates
+            per_update = cfg.rollout * num_envs
+            n_updates = max(1, int(cfg.total_env_steps / per_update)) \
+                * max(1, cfg.num_epochs) * max(1, cfg.num_minibatches)
+            lr = optax.linear_schedule(cfg.lr, cfg.lr_final, n_updates)
+        self.tx = optax.chain(*clip, optax.adam(lr))
 
     # ------------------------------------------------------------------ init
     def init(self, rng: jax.Array, env_state: EnvState, obs: jax.Array) -> LearnerState:
@@ -206,7 +220,8 @@ class Learner:
         norm_adv = (advantages - adv_mean) / adv_std
         return norm_adv, returns
 
-    def _loss(self, params, batch: RolloutBatch, norm_adv, returns):
+    def _loss(self, params, batch: RolloutBatch, norm_adv, returns,
+              progress=0.0):
         cfg = self.cfg
         logits, values = self._forward_sequence(params, batch)
         logp, entropy = action_log_prob_entropy(logits, batch.actions)
@@ -216,10 +231,15 @@ class Learner:
         value_loss = 0.5 * jnp.mean((values - returns) ** 2)
         expl_loss = jnp.mean(symmetric_kl_from_uniform(logits))
 
+        expl_coeff = cfg.exploration_coeff
+        if cfg.exploration_final >= 0.0:
+            expl_coeff = (cfg.exploration_coeff
+                          + (cfg.exploration_final - cfg.exploration_coeff)
+                          * jnp.clip(progress, 0.0, 1.0))
         total = (
             policy_loss
             + cfg.value_coeff * value_loss
-            + cfg.exploration_coeff * expl_loss
+            + expl_coeff * expl_loss
         )
         metrics = {
             "loss": total,
@@ -248,10 +268,13 @@ class Learner:
         cfg = self.cfg
         n_mb = max(1, cfg.num_minibatches)
         params, opt_state = ls.params, ls.opt_state
+        progress = (ls.step.astype(jnp.float32) / cfg.total_env_steps
+                    if cfg.total_env_steps > 0 else 0.0)
 
         def update(params, opt_state, mb_batch, mb_adv, mb_ret):
             (loss, metrics), grads = jax.value_and_grad(
-                self._loss, has_aux=True)(params, mb_batch, mb_adv, mb_ret)
+                self._loss, has_aux=True)(params, mb_batch, mb_adv, mb_ret,
+                                          progress)
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
                 metrics = jax.lax.pmean(metrics, axis_name)

@@ -50,6 +50,12 @@ def parse_args(argv=None):
     p.add_argument("--max_grad_norm", type=float, default=4.0,
                    help="global grad-norm clip; 0 disables (reference runs)")
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_final", type=float, default=-1.0,
+                   help=">=0: linear lr decay to this value over the run")
+    p.add_argument("--exploration_coeff", type=float, default=0.001)
+    p.add_argument("--exploration_final", type=float, default=-1.0,
+                   help=">=0: anneal the exploration coefficient to this "
+                        "value with training progress")
     p.add_argument("--ppo_epochs", type=int, default=1,
                    help="PPO epochs over each rollout (SF --ppo_epochs)")
     p.add_argument("--num_minibatches", type=int, default=1,
@@ -194,7 +200,11 @@ def main(argv=None):
                       reward_clip=args.reward_clip,
                       max_grad_norm=args.max_grad_norm,
                       num_epochs=args.ppo_epochs,
-                      num_minibatches=args.num_minibatches)
+                      num_minibatches=args.num_minibatches,
+                      exploration_coeff=args.exploration_coeff,
+                      lr_final=args.lr_final,
+                      exploration_final=args.exploration_final,
+                      total_env_steps=float(args.train_for_env_steps))
     mesh = make_mesh(args.n_devices)
 
     names = resolve_task_list(args.env)

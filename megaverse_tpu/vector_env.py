@@ -472,11 +472,23 @@ class VectorEnv:
             self._prefetch_pool = None
 
     # ------------------------------------------------------------------ reset
-    def _generate_batch(self, env_indices) -> SceneData:
+    def _generate_batch(self, env_indices, pad_to: int = 0) -> SceneData:
+        """Generate + stack layouts for env_indices; `pad_to` repeats the
+        first layout host-side up to a fixed row count so every refill
+        shares one device shape (shape-varying uploads/scatters compile a
+        fresh program per distinct count — seconds each through a remote
+        tunnel)."""
         scenes = [self._pop_scene(i) for i in env_indices]
         self._note_layout_counts(scenes)
         if self._use_classes:
             self._last_gen_rows = np.stack([self._scene_rows(s) for s in scenes])
+        if pad_to > len(scenes):
+            pad = pad_to - len(scenes)
+            return jax.tree.map(
+                lambda *xs: jnp.asarray(np.concatenate(
+                    [np.stack([np.asarray(x) for x in xs]),
+                     np.repeat(np.asarray(xs[0])[None], pad, axis=0)])),
+                *scenes)
         # Stack on the HOST and ship one buffer per leaf: per-env device_puts
         # are catastrophically slow through the dev-TPU tunnel.
         return jax.tree.map(
@@ -714,11 +726,29 @@ class VectorEnv:
         idx = np.nonzero(dones)[0]
         if idx.size == 0:
             return
-        new_scenes = self._generate_batch(idx.tolist())
-        idx_dev = jnp.asarray(idx)
-        self.next_scenes = jax.tree.map(
-            lambda buf, new: buf.at[idx_dev].set(new), self.next_scenes, new_scenes
-        )
+        # Fixed slot ladder for the refill upload + scatter: every DISTINCT
+        # row count is a separate compiled program (seconds each through a
+        # remote-TPU tunnel) and done counts vary per poll — unpadded, every
+        # refill recompiled (measured: 13.9 s stalls vs the ~140 ms steady
+        # state). Padding happens HOST-side (so the upload shape is fixed
+        # too); sentinel coords == num_envs are dropped by the scatter.
+        n = idx.size
+        slots = 64
+        while slots < n:
+            slots *= 2
+        slots = min(slots, self.num_envs)
+        new_scenes = self._generate_batch(idx.tolist(), pad_to=slots)
+        idx_dev = jnp.asarray(np.concatenate(
+            [idx.astype(np.int32),
+             np.full((slots - n,), self.num_envs, np.int32)]))
+        if not hasattr(self, "_scatter_fns"):
+            self._scatter_fns = {}
+        if slots not in self._scatter_fns:
+            self._scatter_fns[slots] = jax.jit(
+                lambda buf, new, ii: jax.tree.map(
+                    lambda b, nn: b.at[ii].set(nn, mode="drop"), buf, new))
+        self.next_scenes = self._scatter_fns[slots](
+            self.next_scenes, new_scenes, idx_dev)
         if self._use_classes:
             # done envs consumed their buffered layout; the new one is buffered
             self._cls_rows_cur[idx] = self._cls_rows_buf[idx]
