@@ -696,9 +696,8 @@ def _table_planes(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
 
     def rotbox(row):
         center = row[1:4]
-        byaw = row[4]
         half = row[8:11]
-        cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
+        cyj, syj = row[5], row[6]  # precomputed by build_prim_table
         ox, oy, oz = rays.ox - center[0], rays.oy - center[1], rays.oz - center[2]
         lx = cyj * ox - syj * oz
         lz = syj * ox + cyj * oz

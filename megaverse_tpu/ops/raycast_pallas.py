@@ -336,8 +336,8 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             wz = -syj * nlx + cyj * wz1
             return t, wx, wy, wz
 
-        def prim_rotbox(cx0, cy0, cz0, byaw, hx, hy, hz):
-            cyj, syj = jnp.cos(byaw), jnp.sin(byaw)
+        def prim_rotbox(cx0, cy0, cz0, cyj, syj, hx, hy, hz):
+            # cyj/syj are the row's precomputed cos/sin (table cols 5/6)
             ox, oy, oz = ex - cx0, ey - cy0, ez - cz0
             lx = cyj * ox - syj * oz
             lz = syj * ox + cyj * oz
@@ -376,7 +376,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                     lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(1.0)),
                     lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(-1.0)),
                     lambda: prim_eyebox(a0, a1, a2, b0, b1),
-                    lambda: prim_rotbox(a0, a1, a2, b0, c0_, c1_, c2_),
+                    lambda: prim_rotbox(a0, a1, a2, b1, b2, c0_, c1_, c2_),
                 ],
             )
             return jnp.where(ptype >= 0, t, INF), nx, ny, nz
@@ -416,7 +416,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             live = pload(i, 0) >= 0
             t, nx, ny, nz = prim_rotbox(
                 pload(i, 1), pload(i, 2), pload(i, 3),
-                pload(i, 4),
+                pload(i, 5), pload(i, 6),
                 pload(i, 8), pload(i, 9), pload(i, 10))
             return jnp.where(live, t, INF), nx, ny, nz
 
@@ -1055,8 +1055,9 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
 
     # Conservative half extents about center `a` for non-box rows.
     quad_he = jnp.stack([b[:, 0], b[:, 2], b[:, 1]], axis=1)  # cyl/cone
-    # y-rotated box: exact world AABB of the rotated extents (b[:,0] = yaw).
-    cy, sy = jnp.abs(jnp.cos(b[:, 0])), jnp.abs(jnp.sin(b[:, 0]))
+    # y-rotated box: exact world AABB of the rotated extents (b carries
+    # (yaw, cos yaw, sin yaw) for rotbox rows — build_prim_table)
+    cy, sy = jnp.abs(b[:, 1]), jnp.abs(b[:, 2])
     rot_he = jnp.stack(
         [c[:, 0] * cy + c[:, 2] * sy, c[:, 1], c[:, 0] * sy + c[:, 2] * cy],
         axis=1)
@@ -1394,7 +1395,12 @@ def build_prim_table(
     a_vec = jnp.where(is_box, props.pos - sc, props.pos)
     radii = sc.at[:, 1].set(jnp.where(pt == C.PROP_CAPSULE, 2.0 * sc[:, 1], sc[:, 1]))
     quad_b = jnp.stack([sc[:, 0], sc[:, 2], 0.5 * sc[:, 1]], axis=1)
-    rot_b = jnp.stack([props.yaw, jnp.zeros((p,)), jnp.zeros((p,))], axis=1)
+    # rotbox rows ship (yaw, cos yaw, sin yaw): the kernel reads the
+    # precomputed trig as scalar loads instead of evaluating two scalar
+    # transcendentals per row per tile (~100 per tile on wall-heavy hex
+    # scenes — a measured kernel-time term)
+    rot_b = jnp.stack([props.yaw, jnp.cos(props.yaw), jnp.sin(props.yaw)],
+                      axis=1)
     is_ell = ((pt == C.PROP_SPHERE) | (pt == C.PROP_CAPSULE))[:, None]
     b_vec = jnp.where(is_box, props.pos + sc,
                       jnp.where(is_rot, rot_b, jnp.where(is_ell, radii, quad_b)))

@@ -103,6 +103,20 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
     scene.fill_box_voxels(imin, imax, C.VOXEL_SOLID, color=0)
 
     walls = maze_walls(maze, rng, omit_p)
+    # Morton-order the walls so consecutive prop rows are spatial neighbors:
+    # renderer clusters are CONSECUTIVE table rows, and maze-edge iteration
+    # order scatters them across the maze — tight cluster AABBs cull much
+    # better per tile. (Hex has no reference-stream parity to preserve —
+    # maze topology comes from std::random_device in the reference.)
+    def _morton(w):
+        mx = int((w[0] + w[2]) * 0.5 * MAZE_SCALE + 64)
+        mz = int((w[1] + w[3]) * 0.5 * MAZE_SCALE + 64)
+        code = 0
+        for b in range(8):
+            code |= ((mx >> b) & 1) << (2 * b) | ((mz >> b) & 1) << (2 * b + 1)
+        return code
+
+    walls = sorted(walls, key=_morton)
     wall_obbs = []
     for (x1, z1, x2, z2) in walls:
         x1, z1, x2, z2 = (c * MAZE_SCALE for c in (x1, z1, x2, z2))
