@@ -50,14 +50,19 @@ def gather_voxel(cfg: GridConfig, field: jax.Array, ii: jax.Array) -> jax.Array:
 
 
 def set_voxel(cfg: GridConfig, field: jax.Array, ii: jax.Array, value) -> jax.Array:
-    """Scatter value(s) at integer coords [..., 3]; out-of-bounds writes dropped."""
+    """Scatter value(s) at integer coords [..., 3]; out-of-bounds writes are
+    DROPPED (not clamped-and-rewritten: a masked row re-writing the old value
+    at a clipped cell races against a genuine write to the same cell —
+    scatter order is unspecified, and the stale value can win). Callers mask
+    inactive rows by passing coords of -1."""
     dims = jnp.asarray(cfg.dims, jnp.int32)
     valid = jnp.all((ii >= 0) & (ii < dims), axis=-1)
-    iic = jnp.clip(ii, 0, dims - 1)
+    # sentinel must be positive out-of-range: negative indices WRAP in jax
+    # advanced indexing before mode="drop" is applied
+    ioob = jnp.where(valid[..., None], ii, dims)
     value = jnp.broadcast_to(jnp.asarray(value, field.dtype), valid.shape)
-    old = field[iic[..., 0], iic[..., 1], iic[..., 2]]
-    value = jnp.where(valid, value, old)
-    return field.at[iic[..., 0], iic[..., 1], iic[..., 2]].set(value)
+    return field.at[ioob[..., 0], ioob[..., 1], ioob[..., 2]].set(
+        value, mode="drop")
 
 
 def solid_at(cfg: GridConfig, vtype: jax.Array, ii: jax.Array) -> jax.Array:

@@ -99,13 +99,45 @@ def object_stacking_step(
     """Interact handling: place carried object / pick up facing object.
 
     Mirrors ObjectStackingComponent::onInteractAction
-    (component_object_stacking.hpp:59-167). Agents are processed jointly but
-    conflicts (two agents picking the same object in one tick) resolve to the
-    lowest agent index, like the reference's sequential loop.
+    (component_object_stacking.hpp:59-167). Multi-agent ticks are processed
+    SEQUENTIALLY in agent order, exactly like the reference's per-agent
+    loop: agent i's placement/pick mutates the world state agent i+1 then
+    queries within the same tick (an unrolled loop of per-agent passes —
+    each pass's array work is [A]-sized scalars/gathers, so the cost is
+    A x tiny). Single-agent envs take the one-pass path directly.
 
     can_place(state, agent_idx_arange, voxel [A,3]) -> bool [A] optional hook
     (ref canPlaceObject callback).
     """
+    num_agents = state.agents.pos.shape[0]
+    if num_agents == 1:
+        return _stacking_pass(cfg, state, action, can_place, max_drop_scan)
+
+    picked = jnp.zeros((num_agents,), bool)
+    placed = jnp.zeros((num_agents,), bool)
+    place_voxel = jnp.zeros((num_agents, 3), jnp.int32)
+    idx = jnp.arange(num_agents)
+    for a in range(num_agents):
+        # only agent a interacts in this pass (the conflict-resolution
+        # matrices inside the pass become no-ops)
+        act_a = jnp.where(idx == a, action,
+                          action & ~jnp.int32(C.ACTION_INTERACT))
+        res = _stacking_pass(cfg, state, act_a, can_place, max_drop_scan)
+        state = res.state
+        picked = picked | res.picked
+        placed = placed | res.placed
+        place_voxel = jnp.where(res.placed[:, None], res.place_voxel,
+                                place_voxel)
+    return StackingResult(state, picked, placed, place_voxel)
+
+
+def _stacking_pass(
+    cfg: GridConfig,
+    state: EnvState,
+    action: jax.Array,
+    can_place: Optional[Callable[[EnvState, jax.Array, jax.Array], jax.Array]] = None,
+    max_drop_scan: int = 16,
+) -> StackingResult:
     agents = state.agents
     num_agents = agents.pos.shape[0]
     interact = (action & C.ACTION_INTERACT) != 0
@@ -168,9 +200,11 @@ def object_stacking_step(
     pf = props.flags.at[cidx].set(
         jnp.where(ok_place, props.flags[cidx] | PROP_FLAG_SOLID, props.flags[cidx])
     )
+    # masked coords (-1 -> dropped): only the winning rows scatter, so a
+    # losing row can never race a winner at a shared cell
     vobj = G.set_voxel(
-        cfg, state.vobj, settled,
-        jnp.where(ok_place, (cidx + 1).astype(state.vobj.dtype), G.gather_voxel(cfg, state.vobj, settled)),
+        cfg, state.vobj, jnp.where(ok_place[:, None], settled, -1),
+        (cidx + 1).astype(state.vobj.dtype),
     )
     # masked coords (-1 -> dropped) so losing agents never scatter at all
     cols = G.update_cols(
@@ -218,8 +252,8 @@ def object_stacking_step(
         jnp.where(picked, props.flags[pick_idx] & ~jnp.uint8(PROP_FLAG_SOLID), props.flags[pick_idx])
     )
     vobj = G.set_voxel(
-        cfg, state.vobj, pick_voxel,
-        jnp.where(picked, 0, G.gather_voxel(cfg, state.vobj, pick_voxel)),
+        cfg, state.vobj, jnp.where(picked[:, None], pick_voxel, -1),
+        jnp.zeros((), state.vobj.dtype),
     )
     cols = G.update_cols(
         cfg, state.cols, jnp.where(picked[:, None], pick_voxel, -1), False)

@@ -208,10 +208,13 @@ class SokobanScenario(Scenario):
 
         # apply pushes
         box_idx = jnp.maximum(vobj.astype(jnp.int32) - 1, 0)
-        vobj_f = G.set_voxel(cfg, state.vobj, box_voxel,
-                             jnp.where(push, 0, vobj))
-        vobj_f = G.set_voxel(cfg, vobj_f, desired,
-                             jnp.where(push, vobj, G.gather_voxel(cfg, vobj_f, desired)))
+        # masked coords: only pushing rows scatter (a losing row re-writing
+        # its gathered old value could race the winner at a shared cell)
+        vobj_f = G.set_voxel(cfg, state.vobj,
+                             jnp.where(push[:, None], box_voxel, -1),
+                             jnp.zeros((), state.vobj.dtype))
+        vobj_f = G.set_voxel(cfg, vobj_f,
+                             jnp.where(push[:, None], desired, -1), vobj)
         cols_f = G.update_cols(
             cfg, state.cols, jnp.where(push[:, None], box_voxel, -1), False)
         cols_f = G.update_cols(

@@ -251,3 +251,40 @@ def test_boxagone_tile_height_deviation_is_reward_neutral():
     assert int(np.floor((2 + 0.855) / 2)) < 3
     # h=2 is unreachable: second level = 1 + randRange(2,4) >= 3
     assert all(1 + d >= 3 for d in (2, 3))
+
+
+def test_stacking_sequential_same_tick_visibility():
+    """Reference parity (env.cpp:89-122 + component_object_stacking.hpp):
+    agents interact SEQUENTIALLY within one tick, so when two agents target
+    the same object the first picks it and the second sees it gone — and a
+    box placed by agent 0 occupies its voxel for agent 1's placement checks
+    in the same tick."""
+    from megaverse_tpu.scenarios.components import object_stacking_step
+
+    s, state = _single_env("TowerBuilding", seed=2, num_agents=2)
+    cfg = s.cfg.grid
+    vobj = np.asarray(state.vobj)
+    xs, ys, zs = np.nonzero(vobj)
+    cols = np.asarray(state.cols)
+    solid = lambda x, y, z: (cols[x, y >> 5, z] >> (y & 31)) & 1
+    found = None
+    for x, y, z in zip(xs, ys, zs):
+        # free approach cell, and nothing above the box OR its approach
+        # column (so the 2-voxel pick scan sees exactly one candidate)
+        if (x >= 2 and vobj[x - 1, y, z] == 0 and not solid(x - 1, y, z)
+                and vobj[x, y + 1, z] == 0 and vobj[x - 1, y + 1, z] == 0):
+            found = (int(x), int(y), int(z))
+            break
+    assert found is not None
+    bx, by, bz = found
+    # BOTH agents stand at the same spot facing the same box
+    apos = jnp.asarray([[bx - 1 + 0.5, by + C.AGENT_HALF_HEIGHT, bz + 0.5]] * 2)
+    agents = state.agents.replace(pos=apos, yaw=jnp.asarray([-np.pi / 2] * 2))
+    state = state.replace(agents=agents)
+    action = jnp.asarray([C.ACTION_INTERACT, C.ACTION_INTERACT], jnp.int32)
+    res = object_stacking_step(cfg, state, action)
+    picked = np.asarray(res.picked)
+    # exactly ONE agent (the first) gets the object
+    assert picked.tolist() == [True, False]
+    assert int(res.state.agents.carried[0]) >= 0
+    assert int(res.state.agents.carried[1]) == -1
