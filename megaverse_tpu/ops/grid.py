@@ -311,6 +311,120 @@ def cols_lowest_ceiling_above(cfg, cols, x0, x1, z0, z1, top, max_rise,
     return jnp.where(ok, bot_y, jnp.inf), ok
 
 
+def _capsule_column_geom(cfg: GridConfig, cx, cz, radius, span_xz):
+    """Per-column footprint geometry for a vertical capsule of `radius` at
+    (cx, cz): gathered coordinates (ix, iz [..., S]), horizontal squared
+    distance d2 from the axis to each column's nearest point, and the
+    in-circle mask (d2 < radius^2). Used by the capsule floor/ceiling scans."""
+    x0, x1 = cx - radius, cx + radius
+    z0, z1 = cz - radius, cz + radius
+    sx, sz = span_xz
+    ix0 = axis_index(cfg, 0, x0 + BOUNDARY_EPS)
+    ix1 = axis_index(cfg, 0, x1 - BOUNDARY_EPS)
+    iz0 = axis_index(cfg, 2, z0 + BOUNDARY_EPS)
+    iz1 = axis_index(cfg, 2, z1 - BOUNDARY_EPS)
+    off = _offsets(sx, sz)
+    ix = ix0[..., None] + off[..., 0]
+    iz = iz0[..., None] + off[..., 1]
+    in_range = (ix <= ix1[..., None]) & (iz <= iz1[..., None])
+    vs = cfg.voxel_size
+    clx = cfg.origin[0] + ix.astype(jnp.float32) * vs
+    clz = cfg.origin[2] + iz.astype(jnp.float32) * vs
+    dx = jnp.maximum(jnp.maximum(clx - cx[..., None],
+                                 cx[..., None] - (clx + vs)), 0.0)
+    dz = jnp.maximum(jnp.maximum(clz - cz[..., None],
+                                 cz[..., None] - (clz + vs)), 0.0)
+    d2 = dx * dx + dz * dz
+    return ix, iz, d2, in_range
+
+
+def cols_capsule_floor_below(cfg: GridConfig, cols, cx, cz, bottom, max_drop,
+                             span_xz, radius: float,
+                             max_slope_cos: float = 0.70710678):
+    """Capsule-exact landing support on packed columns -> (support_y, found).
+
+    The capsule's bottom SPHERE rests on a column's highest solid cell at
+    support_y = cell_top - (r - sqrt(r^2 - d^2)), where d is the horizontal
+    distance from the capsule axis to the column's nearest point — the dip
+    Bullet's capsule-vs-box contact produces at box edges (golden trace
+    ledge_fall: 2.3 cm at d = 0.12). Columns beyond d = r*sin(slope) cannot
+    support at all: the contact normal tilts past the controller's 45-degree
+    slope filter (KinematicClosestNotMeConvexResultCallback, kcc.cpp:52-93)
+    and the reference's stepDown ignores the hit, letting the capsule slip
+    off the edge. Columns under the axis (d = 0) reproduce the flat AABB
+    answer bit-for-bit (dip = 0).
+
+    The y-scan extends `radius` above `bottom` because a dipped rest sits
+    BELOW its supporting cell's top; the per-column effective-support filter
+    (support_y <= bottom + eps) restores exactness."""
+    r = jnp.float32(radius)
+    ix, iz, d2, in_range = _capsule_column_geom(cfg, cx, cz, radius, span_xz)
+    words = _gather_cols(cfg, cols, ix, iz)
+    dip = r - jnp.sqrt(jnp.maximum(r * r - d2, 0.0))
+    d_max = r * jnp.sqrt(jnp.maximum(1.0 - max_slope_cos * max_slope_cos, 0.0))
+    can_support = in_range & (d2 <= d_max * d_max)
+
+    iy_top = axis_index(cfg, 1, bottom + r + BOUNDARY_EPS) - 1
+    iy_lo = axis_index(cfg, 1, bottom - max_drop) - 1
+    ny = cfg.dims[1]
+    iy0 = jnp.clip(iy_lo, 0, ny - 1)[..., None]
+    iy1 = jnp.clip(iy_top, -1, ny - 1)[..., None]
+    best = jnp.full(words.shape[:-1], -1, jnp.int32)   # [..., S]
+    for w in range(words.shape[-1]):
+        m = _range_mask(iy0, iy1, w)
+        bits = words[..., w] & m
+        hb = _highest_bit(bits) + 32 * w
+        best = jnp.where((bits != 0) & can_support, jnp.maximum(best, hb), best)
+    top_col = cfg.origin[1] + (best.astype(jnp.float32) + 1.0) * cfg.voxel_size
+    eff = top_col - dip
+    bot = bottom[..., None]
+    ok_col = (best >= 0) & (eff <= bot + BOUNDARY_EPS) \
+        & (eff >= bot - max_drop)
+    eff = jnp.where(ok_col, eff, -jnp.inf)
+    support = jnp.max(eff, axis=-1)
+    found = jnp.isfinite(support)
+    return jnp.where(found, support, -jnp.inf), found
+
+
+def cols_capsule_ceiling_above(cfg: GridConfig, cols, cx, cz, top, max_rise,
+                               span_xz, radius: float,
+                               max_slope_cos: float = 0.70710678):
+    """Capsule-exact ceiling blocking on packed columns -> (block_y, found).
+
+    Mirror image of cols_capsule_floor_below for the TOP sphere: a column's
+    lowest solid cell blocks the rise at block_y = cell_bottom + dip(d);
+    columns past the 45-degree contact filter never block (stepUp's
+    ceiling-filtered sweep, kcc.cpp:241-249)."""
+    r = jnp.float32(radius)
+    ix, iz, d2, in_range = _capsule_column_geom(cfg, cx, cz, radius, span_xz)
+    words = _gather_cols(cfg, cols, ix, iz)
+    dip = r - jnp.sqrt(jnp.maximum(r * r - d2, 0.0))
+    d_max = r * jnp.sqrt(jnp.maximum(1.0 - max_slope_cos * max_slope_cos, 0.0))
+    can_block = in_range & (d2 <= d_max * d_max)
+
+    iy_bot = axis_index(cfg, 1, top - r - BOUNDARY_EPS) + 1
+    iy_hi = axis_index(cfg, 1, top + max_rise)
+    ny = cfg.dims[1]
+    iy0 = jnp.clip(iy_bot, 0, ny - 1)[..., None]
+    iy1 = jnp.clip(iy_hi, -1, ny - 1)[..., None]
+    big = jnp.int32(1 << 30)
+    best = jnp.full(words.shape[:-1], big, jnp.int32)
+    for w in range(words.shape[-1]):
+        m = _range_mask(iy0, iy1, w)
+        bits = words[..., w] & m
+        lb = _lowest_bit(bits) + 32 * w
+        best = jnp.where((bits != 0) & can_block, jnp.minimum(best, lb), best)
+    bot_col = cfg.origin[1] + best.astype(jnp.float32) * cfg.voxel_size
+    eff = bot_col + dip
+    topx = top[..., None]
+    ok_col = (best < big) & (eff >= topx - BOUNDARY_EPS) \
+        & (eff < topx + max_rise)
+    eff = jnp.where(ok_col, eff, jnp.inf)
+    block = jnp.min(eff, axis=-1)
+    found = jnp.isfinite(block)
+    return jnp.where(found, block, jnp.inf), found
+
+
 def highest_floor_below(
     cfg: GridConfig,
     vtype: jax.Array,

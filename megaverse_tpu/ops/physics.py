@@ -258,8 +258,12 @@ def player_step(
     # --- stepUp (kcc.cpp:223-304) ---
     step_h = jnp.where(vvel < 0, C.KCC_STEP_HEIGHT, 0.0)
     up_dist = step_h + jnp.maximum(voffset, 0.0)
-    ceil_y, ceil_found = G.cols_lowest_ceiling_above(
-        cfg, cols, x0, x1, z0, z1, top, MAX_RISE, _span_xz(cfg)
+    # capsule-exact ceiling: the TOP sphere contacts a cell's underside at
+    # cell_bottom + (r - sqrt(r^2 - d^2)) per column, and columns past the
+    # 45-degree contact filter never block (grid.cols_capsule_ceiling_above)
+    ceil_y, ceil_found = G.cols_capsule_ceiling_above(
+        cfg, cols, pos[..., 0], pos[..., 2], top, MAX_RISE, _span_xz(cfg),
+        HALF_XZ,
     )
     free_rise = jnp.where(ceil_found, jnp.maximum(ceil_y - top - CLAMP_MARGIN, 0.0), jnp.inf)
     blocked_up = free_rise < up_dist
@@ -291,11 +295,13 @@ def player_step(
     drop = step_offset + down_vel * dt
 
     bottom = pos[..., 1] - HALF_Y
-    floor_y, floor_found = G.cols_highest_floor_below(
-        cfg, cols,
-        pos[..., 0] - HALF_XZ, pos[..., 0] + HALF_XZ,
-        pos[..., 2] - HALF_XZ, pos[..., 2] + HALF_XZ,
-        bottom, MAX_DROP, _span_xz(cfg),
+    # capsule-exact landing: the bottom SPHERE rests dip(d) below a cell's
+    # top at horizontal distance d, and slips off past the 45-degree contact
+    # filter (grid.cols_capsule_floor_below — reproduces the reference's
+    # ledge-edge dip, golden trace ledge_fall)
+    floor_y, floor_found = G.cols_capsule_floor_below(
+        cfg, cols, pos[..., 0], pos[..., 2],
+        bottom, MAX_DROP, _span_xz(cfg), HALF_XZ,
     )
     if obbs is not None:
         # wall tops are floor candidates too (landing on maze walls)
@@ -439,11 +445,18 @@ def obb_floor_support(pos_xz_y, obbs):
     if obbs.shape[0] == 0:
         z = jnp.zeros(pos_xz_y.shape[:-1], jnp.float32)
         return z, jnp.zeros(pos_xz_y.shape[:-1], bool)
+    r = HALF_XZ
     u, v = _obb_local_xz(pos_xz_y, obbs)
     du = u - jnp.clip(u, -obbs[:, 3], obbs[:, 3])
     dv = v - jnp.clip(v, -obbs[:, 5], obbs[:, 5])
-    near = (du * du + dv * dv < HALF_XZ * HALF_XZ) & (obbs[:, 4] > 0)
-    top = obbs[:, 1] + obbs[:, 4]
+    d2 = du * du + dv * dv
+    # same capsule contact model as the voxel floor scan: the bottom sphere
+    # rests dip(d) below the wall top, and slips off past the 45-degree
+    # contact filter (d <= r*sin(45))
+    d_max2 = 0.5 * r * r
+    near = (d2 <= d_max2) & (obbs[:, 4] > 0)
+    dip = r - jnp.sqrt(jnp.maximum(r * r - d2, 0.0))
+    top = obbs[:, 1] + obbs[:, 4] - dip
     best = jnp.max(jnp.where(near, top, -jnp.inf), axis=-1)
     return best, jnp.isfinite(best)
 

@@ -89,11 +89,9 @@ POS_TOL = {
     "voxel_step_blocked": 6e-3,
     "jump_land": 2e-3,
     "ceiling_bump": 6e-3,
-    # at the ledge edge the capsule's bottom SPHERE dips r - sqrt(r^2-d^2)
-    # (~2.3 cm) over the box edge before falling; the AABB footprint stays
-    # fully supported until the edge. Trajectories re-converge on landing
-    # (tick 28 matches exactly).
-    "ledge_fall": 2.5e-2,
+    # the capsule floor model (cols_capsule_floor_below) reproduces the
+    # bottom sphere's edge dip and the 45-degree slip-off timing exactly
+    "ledge_fall": 1e-4,
 }
 
 
