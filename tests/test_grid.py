@@ -168,3 +168,63 @@ def test_cols_update_same_word_different_bits():
     assert int(cols2[3, 0, 5]) == (1 << 2) | (1 << 6)
     cols3 = G.update_cols(CFG, cols2, ii[:1], False)
     assert int(cols3[3, 0, 5]) == (1 << 6)
+
+
+def test_capsule_floor_edge_dip_and_slip():
+    """cols_capsule_floor_below: support under the axis equals the cell top
+    exactly; at horizontal distance d from a ledge edge the support dips by
+    r - sqrt(r^2 - d^2); past d = r*sin(45deg) the contact normal fails the
+    controller's slope filter and there is NO support (the capsule slips
+    off) — the behavior that makes the ledge_fall golden trace bit-exact."""
+    r = 0.33
+    cfg = GridConfig(dims=(16, 8, 16), voxel_size=1.0, origin=(-8.0, -2.0, -8.0))
+    vt = np.zeros(cfg.dims, np.uint8)
+    vt[:, 1, :8] = C.VOXEL_SOLID          # floor top y=0 for z < 0
+    cols = G.pack_solid_columns(cfg, jnp.asarray(vt))
+
+    def support(cx, cz, bottom=0.0):
+        y, f = G.cols_capsule_floor_below(
+            cfg, cols, jnp.asarray([cx], jnp.float32),
+            jnp.asarray([cz], jnp.float32),
+            jnp.asarray([bottom], jnp.float32), 4.0, (2, 2), r)
+        return (float(y[0]), bool(f[0]))
+
+    # axis over the floor: exact cell top
+    y, f = support(0.5, -2.0)
+    assert f and y == 0.0
+    # axis 0.12 past the edge (z = 0): dip = r - sqrt(r^2 - 0.12^2)
+    d = 0.12
+    y, f = support(0.5, d)
+    assert f
+    np.testing.assert_allclose(y, -(r - np.sqrt(r * r - d * d)), atol=1e-6)
+    # past the 45-degree filter: no support at all
+    y, f = support(0.5, r * np.sin(np.pi / 4) + 0.01)
+    assert not f
+    # ...even though the bounding SQUARE still overlaps the floor there
+    assert r * np.sin(np.pi / 4) + 0.01 < r
+
+
+def test_capsule_ceiling_edge_dip():
+    """cols_capsule_ceiling_above mirrors the floor scan for the top
+    sphere: blocking height rises by the dip at the slab edge."""
+    r = 0.33
+    cfg = GridConfig(dims=(16, 8, 16), voxel_size=1.0, origin=(-8.0, -2.0, -8.0))
+    vt = np.zeros(cfg.dims, np.uint8)
+    vt[:, 5, :8] = C.VOXEL_SOLID          # slab bottom at y=3 for z < 0
+    cols = G.pack_solid_columns(cfg, jnp.asarray(vt))
+
+    def block(cx, cz, top=2.0):
+        y, f = G.cols_capsule_ceiling_above(
+            cfg, cols, jnp.asarray([cx], jnp.float32),
+            jnp.asarray([cz], jnp.float32),
+            jnp.asarray([top], jnp.float32), 4.0, (2, 2), r)
+        return (float(y[0]), bool(f[0]))
+
+    y, f = block(0.5, -2.0)
+    assert f and y == 3.0
+    d = 0.15
+    y, f = block(0.5, d)
+    assert f
+    np.testing.assert_allclose(y, 3.0 + (r - np.sqrt(r * r - d * d)), atol=1e-6)
+    y, f = block(0.5, r * np.sin(np.pi / 4) + 0.01)
+    assert not f
