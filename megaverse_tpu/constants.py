@@ -110,7 +110,15 @@ PROP_CAPSULE = 1
 PROP_SPHERE = 2
 PROP_CONE = 3
 PROP_CYLINDER = 4
-PROP_ROTBOX = 5  # y-rotated box (maze walls); not a reference drawable type
+PROP_ROTBOX = 5  # y-rotated box (maze landmarks); not a reference drawable type
+# Hex maze wall + its bottom edging strip fused into ONE primitive (the
+# edging geometry is fully derived from the wall's: length x1.02, height
+# fraction 0.12, half-depth 0.2 — scenarios/hex.py build_maze). One table row
+# ships both boxes and the renderer shares the rotated-ray math between them.
+PROP_ROTBOX_WALL = 6
+WALL_EDGE_LEN_SCALE = 1.02   # edging half-length = wall half-length * this
+WALL_EDGE_H_FRAC = 0.12      # edging half-height = wall half-height * this
+WALL_EDGE_HZ = 0.2           # edging half-depth (wall's is 0.15)
 
 # ---------------------------------------------------------------------------
 # Color palette (ref: const.hpp:25-143). Index into PALETTE is the canonical

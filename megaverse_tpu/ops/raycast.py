@@ -384,26 +384,66 @@ def _add_props_typed(carry: HitCarry, rays: Rays, props: PropState, palette,
                 wx = cyj * nlx + syj * nlz
                 wz = -syj * nlx + cyj * nlz
                 return t, (wx, nly, wz)
+        elif ptype == C.PROP_ROTBOX_WALL:
+            def test(pos, scale, yaw):
+                # fused wall + derived bottom edging; third output is the
+                # per-pixel "edging won" mask (picks color2 in the caller)
+                sc = jnp.abs(scale)
+                hx, hy, hz = sc[0], sc[1], sc[2]
+                cyj, syj = jnp.cos(yaw), jnp.sin(yaw)
+                ox, oy, oz = (rays.ox - pos[0], rays.oy - pos[1],
+                              rays.oz - pos[2])
+                lx = cyj * ox - syj * oz
+                lz = syj * ox + cyj * oz
+                dlx = cyj * rays.dx - syj * rays.dz
+                dlz = syj * rays.dx + cyj * rays.dz
+                local = rays_from((lx, oy, lz), (dlx, rays.dy, dlz))
+                tw, (nlx, nly, nlz) = box_hit(local, (-hx, -hy, -hz),
+                                              (hx, hy, hz))
+                ehx = np.float32(C.WALL_EDGE_LEN_SCALE) * hx
+                ehz = jnp.float32(C.WALL_EDGE_HZ)
+                cy0 = pos[1]
+                te, (elx, ely, elz) = box_hit(
+                    local, (-ehx, -cy0, -ehz),
+                    (ehx, np.float32(2.0 * C.WALL_EDGE_H_FRAC) * hy - cy0,
+                     ehz))
+                use_e = te < tw
+                t = jnp.where(use_e, te, tw)
+                nlx = jnp.where(use_e, elx, nlx)
+                nly = jnp.where(use_e, ely, nly)
+                nlz = jnp.where(use_e, elz, nlz)
+                wx = cyj * nlx + syj * nlz
+                wz = -syj * nlx + cyj * nlz
+                return t, (wx, nly, wz), use_e
         else:
             raise ValueError(f"segment of unsupported prop type {ptype}")
         return test
+
+    rgb2_all = palette[props.color2]
 
     for ptype, start, count in segments:
         if count == 0:
             continue
         test = seg_tests(ptype)
+        wall = ptype == C.PROP_ROTBOX_WALL
 
-        def add_one(c, pos, scale, yaw, flags, rgb):
-            t, n = test(pos, scale, yaw)
+        def add_one(c, pos, scale, yaw, flags, rgb, rgb2):
+            if wall:
+                t, n, use_e = test(pos, scale, yaw)
+                rgb = tuple(jnp.where(use_e, rgb2[k], rgb[k]) for k in range(3))
+            else:
+                t, n = test(pos, scale, yaw)
             t = jnp.where((flags & PROP_FLAG_VISIBLE) != 0, t, INF)
             return _select(c, t, n, (rgb[0], rgb[1], rgb[2]))
 
         sl = slice(start, start + count)
         pos, scale = props.pos[sl], props.scale[sl]
         yaw, flags, rgb = props.yaw[sl], props.flags[sl], rgb_all[sl]
+        rgb2 = rgb2_all[sl]
         if count <= PROP_CHUNK:
             for i in range(count):
-                carry = add_one(carry, pos[i], scale[i], yaw[i], flags[i], rgb[i])
+                carry = add_one(carry, pos[i], scale[i], yaw[i], flags[i],
+                                rgb[i], rgb2[i])
             continue
         pad = (-count) % PROP_CHUNK
         if pad:
@@ -412,19 +452,20 @@ def _add_props_typed(carry: HitCarry, rays: Rays, props: PropState, palette,
             yaw = jnp.concatenate([yaw, jnp.zeros((pad,), yaw.dtype)])
             flags = jnp.concatenate([flags, jnp.zeros((pad,), flags.dtype)])
             rgb = jnp.concatenate([rgb, jnp.zeros((pad, 3), rgb.dtype)])
+            rgb2 = jnp.concatenate([rgb2, jnp.zeros((pad, 3), rgb2.dtype)])
         g = pos.shape[0] // PROP_CHUNK
 
         def body(c, xs):
-            po, sca, yw, fl, col = xs
+            po, sca, yw, fl, col, col2 = xs
             for i in range(PROP_CHUNK):
-                c = add_one(c, po[i], sca[i], yw[i], fl[i], col[i])
+                c = add_one(c, po[i], sca[i], yw[i], fl[i], col[i], col2[i])
             return c, None
 
         reshape = lambda x: x.reshape((g, PROP_CHUNK) + x.shape[1:])
         carry, _ = jax.lax.scan(
             body, carry,
             (reshape(pos), reshape(scale), reshape(yaw), reshape(flags),
-             reshape(rgb)))
+             reshape(rgb), reshape(rgb2)))
     return carry
 
 
@@ -709,23 +750,63 @@ def _table_planes(cfg: EnvConfig, agents: AgentState, prims: jax.Array,
         wz = -syj * nlx + cyj * nlz
         return t, (wx, nly, wz)
 
+    def rotbox_wall(row):
+        # Fused wall + bottom edging (mirrors raycast_pallas prim_rotbox_wall
+        # arithmetically): shared rotated-ray products, two slab tests; the
+        # edging (drawn after the wall) wins only a strictly closer hit.
+        # Returns the per-pixel packed color plane (row[7] wall, row[11] edging).
+        center = row[1:4]
+        hx, hy, hz = row[8], row[9], row[10]
+        cyj, syj = row[5], row[6]
+        ox, oy, oz = rays.ox - center[0], rays.oy - center[1], rays.oz - center[2]
+        lx = cyj * ox - syj * oz
+        lz = syj * ox + cyj * oz
+        dlx = cyj * rays.dx - syj * rays.dz
+        dlz = syj * rays.dx + cyj * rays.dz
+        local = rays_from((lx, oy, lz), (dlx, rays.dy, dlz))
+        tw, (nlx, nly, nlz) = box_hit(local, (-hx, -hy, -hz), (hx, hy, hz))
+        ehx = np.float32(C.WALL_EDGE_LEN_SCALE) * hx
+        ehz = jnp.float32(C.WALL_EDGE_HZ)
+        cy0 = center[1]
+        te, (elx, ely, elz) = box_hit(
+            local, (-ehx, -cy0, -ehz),
+            (ehx, np.float32(2.0 * C.WALL_EDGE_H_FRAC) * hy - cy0, ehz))
+        use_e = te < tw
+        t = jnp.where(use_e, te, tw)
+        nlx = jnp.where(use_e, elx, nlx)
+        nly = jnp.where(use_e, ely, nly)
+        nlz = jnp.where(use_e, elz, nlz)
+        pk = jnp.where(use_e, row[11], row[7]) + jnp.zeros_like(t)
+        wx = cyj * nlx + syj * nlz
+        wz = -syj * nlx + cyj * nlz
+        return t, (wx, nly, wz), pk
+
     def body(carry, row):
         ptype = row[0].astype(jnp.int32)
         a = row[1:4]
         b = row[4:7]
+        zero_pk = jnp.zeros(shape)
+
+        def plain(fn):
+            def wrapped():
+                t, n = fn()
+                return t, n, zero_pk + row[7]
+            return wrapped
+
         branches = [
-            lambda: box_hit(rays, a, b),
-            lambda: ellipsoid_hit(rays, a, b),
-            lambda: cylinder_hit(rays, a, b[0], b[1], b[2]),
-            lambda: cone_hit(rays, a, b[0], b[1], b[2], jnp.asarray(False)),
-            lambda: cone_hit(rays, a, b[0], b[1], b[2], jnp.asarray(True)),
-            lambda: eyebox(row),
-            lambda: rotbox(row),
+            plain(lambda: box_hit(rays, a, b)),
+            plain(lambda: ellipsoid_hit(rays, a, b)),
+            plain(lambda: cylinder_hit(rays, a, b[0], b[1], b[2])),
+            plain(lambda: cone_hit(rays, a, b[0], b[1], b[2], jnp.asarray(False))),
+            plain(lambda: cone_hit(rays, a, b[0], b[1], b[2], jnp.asarray(True))),
+            plain(lambda: eyebox(row)),
+            plain(lambda: rotbox(row)),
+            lambda: rotbox_wall(row),
         ]
-        t, n = jax.lax.switch(jnp.clip(ptype, 0, 6), branches)
+        t, n, pkf = jax.lax.switch(jnp.clip(ptype, 0, 7), branches)
         t = jnp.where(ptype >= 0, t, INF)
-        # row[7] = packed RGB; f32(k)/255 reproduces the palette bit-exactly
-        pk = row[7].astype(jnp.int32)
+        # packed RGB; f32(k)/255 reproduces the palette bit-exactly
+        pk = pkf.astype(jnp.int32)
         rgb = (((pk >> 16) & 0xFF).astype(jnp.float32) / 255.0,
                ((pk >> 8) & 0xFF).astype(jnp.float32) / 255.0,
                (pk & 0xFF).astype(jnp.float32) / 255.0)

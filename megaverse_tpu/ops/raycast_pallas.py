@@ -67,7 +67,7 @@ TILE_W = 128
 # K=4: with per-tile frustum lists + early exit, cluster *tests* are nearly
 # free, so finer clusters win — every surviving cluster costs K row
 # intersections and tighter AABBs survive less often.
-CLUSTER_K = 4
+CLUSTER_K = 8
 # Clusters per SUPERcluster (second culling level): the per-tile sorted lists
 # (and the XLA sort building them — strongly superlinear in list length on
 # TPU) shrink by this factor; the kernel prunes SUPER_K*CLUSTER_K rows with
@@ -93,7 +93,12 @@ PRIM_CONE = 3
 PRIM_CONE_FLIPPED = 4
 PRIM_EYEBOX = 5
 PRIM_ROTBOX = 6  # y-rotated box: a=center, b=(yaw,-,-), c=half extents
-TAG_CONE_MIXED = 7  # cluster tag: live rows are CONE / CONE_FLIPPED mixed
+# Fused hex wall + bottom edging: a=center, b=(yaw, cos, sin), c=wall half
+# extents, col 7 = wall packed RGB, col 11 = edging packed RGB. The edging
+# box is derived in-kernel (C.WALL_EDGE_*) and shares the wall's rotated-ray
+# products — one row renders what used to take two.
+PRIM_ROTBOX_WALL = 7
+TAG_CONE_MIXED = 8  # cluster tag: live rows are CONE / CONE_FLIPPED mixed
                     # (diamonds interleave top+bottom cones)
 
 _EYE_HALF = (0.25, 0.12, 0.2)
@@ -354,8 +359,48 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             wz = -syj * nlx + cyj * nlz
             return t, wx, nly, wz
 
+        def prim_rotbox_wall(cx0, cy0, cz0, cyj, syj, hx, hy, hz, wcol, ecol):
+            # Fused wall + bottom edging (scenarios/hex.py build_maze): the
+            # rotated-ray products are computed ONCE and feed two slab tests.
+            # The edging was drawn AFTER the wall, so it wins only on a
+            # strictly closer hit — matching the old two-row in-order carry.
+            ox, oy, oz = ex - cx0, ey - cy0, ez - cz0
+            lx = cyj * ox - syj * oz
+            lz = syj * ox + cyj * oz
+            dlx = cyj * dx - syj * dz
+            dlz = syj * dx + cyj * dz
+            eps2 = 1e-12
+            rix = 1.0 / jnp.where(jnp.abs(dlx) < eps2, eps2, dlx)
+            riz = 1.0 / jnp.where(jnp.abs(dlz) < eps2, eps2, dlz)
+            oxix_l = lx * rix
+            oyiy_l = oy * iy
+            oziz_l = lz * riz
+            tw, nlx, nly, nlz = aabb(
+                -hx, -hy, -hz, hx, hy, hz,
+                oxix_l, oyiy_l, oziz_l, dlx, dy, dlz, rix, iy, riz)
+            ehx = np.float32(C.WALL_EDGE_LEN_SCALE) * hx
+            ehz = jnp.float32(C.WALL_EDGE_HZ)
+            # edging world-y span is [0, 2*h_frac*hy]; bounds are expressed
+            # relative to the WALL center cy0 so the local frame is shared
+            te, elx, ely, elz = aabb(
+                -ehx, -cy0, -ehz,
+                ehx, np.float32(2.0 * C.WALL_EDGE_H_FRAC) * hy - cy0, ehz,
+                oxix_l, oyiy_l, oziz_l, dlx, dy, dlz, rix, iy, riz)
+            use_e = te < tw
+            t = jnp.where(use_e, te, tw)
+            nlx = jnp.where(use_e, elx, nlx)
+            nly = jnp.where(use_e, ely, nly)
+            nlz = jnp.where(use_e, elz, nlz)
+            c = jnp.where(use_e, ecol, wcol)
+            wx = cyj * nlx + syj * nlz
+            wz = -syj * nlx + cyj * nlz
+            return t, wx, nly, wz, c
+
         # ---- primitive loop ----
         def row_hit(i):
+            # Generic (mixed-cluster) path; returns (t, nx, ny, nz, c) where
+            # c is the packed hit color as a TILE plane — scalar for every
+            # type except ROTBOX_WALL, whose color is per-pixel.
             ptype = pload(i, 0).astype(jnp.int32)
             a0 = pload(i, 1)
             a1 = pload(i, 2)
@@ -366,20 +411,32 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             c0_ = pload(i, 8)
             c1_ = pload(i, 9)
             c2_ = pload(i, 10)
+            col = pload(i, 7)
 
-            t, nx, ny, nz = jax.lax.switch(
-                jnp.clip(ptype, 0, 6),
+            def plain(fn):
+                def wrapped():
+                    t, nx, ny, nz = fn()
+                    return t, nx, ny, nz, zero + col
+                return wrapped
+
+            t, nx, ny, nz, c = jax.lax.switch(
+                jnp.clip(ptype, 0, 7),
                 [
-                    lambda: prim_aabb(a0, a1, a2, b0, b1, b2),
-                    lambda: prim_ellipsoid(a0, a1, a2, b0, b1, b2),
-                    lambda: prim_cylinder(a0, a1, a2, b0, b1, b2),
-                    lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(1.0)),
-                    lambda: prim_cone(a0, a1, a2, b0, b1, b2, jnp.float32(-1.0)),
-                    lambda: prim_eyebox(a0, a1, a2, b0, b1),
-                    lambda: prim_rotbox(a0, a1, a2, b1, b2, c0_, c1_, c2_),
+                    plain(lambda: prim_aabb(a0, a1, a2, b0, b1, b2)),
+                    plain(lambda: prim_ellipsoid(a0, a1, a2, b0, b1, b2)),
+                    plain(lambda: prim_cylinder(a0, a1, a2, b0, b1, b2)),
+                    plain(lambda: prim_cone(a0, a1, a2, b0, b1, b2,
+                                            jnp.float32(1.0))),
+                    plain(lambda: prim_cone(a0, a1, a2, b0, b1, b2,
+                                            jnp.float32(-1.0))),
+                    plain(lambda: prim_eyebox(a0, a1, a2, b0, b1)),
+                    plain(lambda: prim_rotbox(a0, a1, a2, b1, b2,
+                                              c0_, c1_, c2_)),
+                    lambda: prim_rotbox_wall(a0, a1, a2, b1, b2,
+                                             c0_, c1_, c2_, col, pload(i, 11)),
                 ],
             )
-            return jnp.where(ptype >= 0, t, INF), nx, ny, nz
+            return jnp.where(ptype >= 0, t, INF), nx, ny, nz, c
 
         def row_hit_aabb(i):
             # Branch-free DEFERRED-NORMAL variant for clusters whose live rows are
@@ -412,13 +469,25 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
             return t, code
 
         def row_hit_rotbox(i):
-            # branch-free variant for all-ROTBOX clusters (hex maze walls)
+            # branch-free variant for all-ROTBOX clusters (maze landmarks)
             live = pload(i, 0) >= 0
             t, nx, ny, nz = prim_rotbox(
                 pload(i, 1), pload(i, 2), pload(i, 3),
                 pload(i, 5), pload(i, 6),
                 pload(i, 8), pload(i, 9), pload(i, 10))
             return jnp.where(live, t, INF), nx, ny, nz
+
+        def row_hit_wall(i):
+            # branch-free variant for all-ROTBOX_WALL clusters (hex maze
+            # walls live in their own typed prop segment, so wall clusters
+            # are homogeneous); returns the per-pixel color plane too
+            live = pload(i, 0) >= 0
+            t, nx, ny, nz, c = prim_rotbox_wall(
+                pload(i, 1), pload(i, 2), pload(i, 3),
+                pload(i, 5), pload(i, 6),
+                pload(i, 8), pload(i, 9), pload(i, 10),
+                pload(i, 7), pload(i, 11))
+            return jnp.where(live, t, INF), nx, ny, nz, c
 
         def row_hit_ellipsoid(i):
             # branch-free variant for all-ELLIPSOID clusters (spheres /
@@ -455,7 +524,10 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
         # the sky init). The final normal is decoded once per tile.
         CODE_DIRECT = jnp.int32(3)
 
-        def make_body(hit_fn, aabb=False):
+        def make_body(hit_fn, aabb=False, with_color=False):
+            # with_color: hit_fn returns (t, nx, ny, nz, c) — the packed hit
+            # color comes from the routine (per-pixel for ROTBOX_WALL rows)
+            # instead of the row's color column.
             def body(i, carry):
                 bt, bnx, bny, bnz, bcode, bc = carry
                 if aabb:
@@ -467,7 +539,11 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                         jnp.where(closer, code, bcode),
                         jnp.where(closer, pload(i, 7), bc),
                     )
-                t, nx, ny, nz = hit_fn(i)
+                if with_color:
+                    t, nx, ny, nz, c = hit_fn(i)
+                else:
+                    t, nx, ny, nz = hit_fn(i)
+                    c = pload(i, 7)
                 closer = t < bt
                 return (
                     jnp.where(closer, t, bt),
@@ -475,11 +551,11 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                     jnp.where(closer, ny, bny),
                     jnp.where(closer, nz, bnz),
                     jnp.where(closer, CODE_DIRECT, bcode),
-                    jnp.where(closer, pload(i, 7), bc),
+                    jnp.where(closer, c, bc),
                 )
             return body
 
-        def make_body_tiebreak(hit_fn, aabb=False):
+        def make_body_tiebreak(hit_fn, aabb=False, with_color=False):
             # Variant carrying the winning row index: ties (t == bt) resolve to
             # the LOWEST row index, which is exactly what in-order traversal's
             # strict `t < bt` produces — so any cluster traversal order yields
@@ -497,7 +573,11 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                         jnp.where(closer, code, bcode),
                         jnp.where(closer, pload(i, 7), bc),
                     )
-                t, nx, ny, nz = hit_fn(i)
+                if with_color:
+                    t, nx, ny, nz, c = hit_fn(i)
+                else:
+                    t, nx, ny, nz = hit_fn(i)
+                    c = pload(i, 7)
                 ii = jnp.full_like(bidx, 0) + i
                 closer = (t < bt) | ((t == bt) & (ii < bidx))
                 return (
@@ -507,13 +587,13 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                     jnp.where(closer, ny, bny),
                     jnp.where(closer, nz, bnz),
                     jnp.where(closer, CODE_DIRECT, bcode),
-                    jnp.where(closer, pload(i, 7), bc),
+                    jnp.where(closer, c, bc),
                 )
             return body
 
-        body = make_body(row_hit)
-
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        body = make_body(row_hit, with_color=True)
+
         izero = jnp.zeros((TILE_H, TILE_W), jnp.int32)
         init = (zero + INF, zero, zero, zero, izero + CODE_DIRECT, zero)
         if cluster_k:
@@ -559,12 +639,13 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 reachable = (tmax >= tmin) & (tmax > 0.0) & (tmin < bt + 0.01)
 
                 mk = make_body_tiebreak if sorted_order else make_body
-                row_body = mk(row_hit)
+                row_body = mk(row_hit, with_color=True)
                 row_body_aabb = mk(row_hit_aabb, aabb=True)
                 row_body_rot = mk(row_hit_rotbox)
                 row_body_ell = mk(row_hit_ellipsoid)
                 row_body_cyl = mk(row_hit_cylinder)
                 row_body_cone = mk(row_hit_cone)
+                row_body_wall = mk(row_hit_wall, with_color=True)
 
                 # One scalar switch decides skip / generic / homogeneous fast
                 # paths (all-AABB, all-ROTBOX, all-ellipsoid, all-cylinder
@@ -590,7 +671,9 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                     jnp.where(tag == PRIM_ROTBOX, jnp.int32(3),
                     jnp.where(tag == PRIM_ELLIPSOID, jnp.int32(4),
                     jnp.where(tag == PRIM_CYLINDER, jnp.int32(5),
-                    jnp.where(is_cone, jnp.int32(6), jnp.int32(1)))))),
+                    jnp.where(is_cone, jnp.int32(6),
+                    jnp.where(tag == PRIM_ROTBOX_WALL, jnp.int32(7),
+                              jnp.int32(1))))))),
                     jnp.int32(0))
                 return jax.lax.switch(branch, [
                     skip,
@@ -600,6 +683,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                     functools.partial(run, row_body_ell),
                     functools.partial(run, row_body_cyl),
                     functools.partial(run, row_body_cone),
+                    functools.partial(run, row_body_wall),
                 ], carry)
 
             num_groups = num_prims // cluster_k
@@ -613,12 +697,13 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 # worth one sync per cluster). Traversal is in TABLE ORDER,
                 # so the strict `t < bt` carry reproduces the XLA renderer's
                 # in-order scan bit-exactly.
-                row_body = make_body(row_hit)
+                row_body = make_body(row_hit, with_color=True)
                 row_body_aabb = make_body(row_hit_aabb, aabb=True)
                 row_body_rot = make_body(row_hit_rotbox)
                 row_body_ell = make_body(row_hit_ellipsoid)
                 row_body_cyl = make_body(row_hit_cylinder)
                 row_body_cone = make_body(row_hit_cone)
+                row_body_wall = make_body(row_hit_wall, with_color=True)
 
                 def run_cluster(gc, carry):
                     tag = cload(gc, 6).astype(jnp.int32)
@@ -634,7 +719,9 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                              jnp.where(tag == PRIM_ROTBOX, jnp.int32(2),
                              jnp.where(tag == PRIM_ELLIPSOID, jnp.int32(3),
                              jnp.where(tag == PRIM_CYLINDER, jnp.int32(4),
-                             jnp.where(is_cone, jnp.int32(5), jnp.int32(0))))))
+                             jnp.where(is_cone, jnp.int32(5),
+                             jnp.where(tag == PRIM_ROTBOX_WALL, jnp.int32(6),
+                                       jnp.int32(0)))))))
                     return jax.lax.switch(branch, [
                         functools.partial(run, row_body),
                         functools.partial(run, row_body_aabb),
@@ -642,6 +729,7 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                         functools.partial(run, row_body_ell),
                         functools.partial(run, row_body_cyl),
                         functools.partial(run, row_body_cone),
+                        functools.partial(run, row_body_wall),
                     ], carry)
 
                 # walk the compact per-tile survivor list; the sentinel
@@ -1064,6 +1152,13 @@ def build_clusters(prims: jax.Array, k: int = CLUSTER_K):
     he = jnp.where((ptype == PRIM_ELLIPSOID)[:, None], b, quad_he)
     he = jnp.where((ptype == PRIM_EYEBOX)[:, None], _EYE_BOUND, he)
     he = jnp.where((ptype == PRIM_ROTBOX)[:, None], rot_he, he)
+    # fused wall rows: the AABB must also cover the derived edging box
+    # (length x1.02, half-depth 0.2 vs the wall's 0.15; height is within)
+    whx = c[:, 0] * np.float32(C.WALL_EDGE_LEN_SCALE)
+    whz = jnp.maximum(c[:, 2], np.float32(C.WALL_EDGE_HZ))
+    wall_he = jnp.stack(
+        [whx * cy + whz * sy, c[:, 1], whx * sy + whz * cy], axis=1)
+    he = jnp.where((ptype == PRIM_ROTBOX_WALL)[:, None], wall_he, he)
 
     is_box = (ptype == PRIM_AABB)[:, None]
     lo = jnp.where(is_box, a, a - he)
@@ -1383,15 +1478,16 @@ def build_prim_table(
          pt == C.PROP_CYLINDER,
          (pt == C.PROP_CONE) & ~flipped,
          (pt == C.PROP_CONE) & flipped,
-         pt == C.PROP_ROTBOX],
+         pt == C.PROP_ROTBOX,
+         pt == C.PROP_ROTBOX_WALL],
         [PRIM_AABB, PRIM_ELLIPSOID, PRIM_CYLINDER, PRIM_CONE, PRIM_CONE_FLIPPED,
-         PRIM_ROTBOX],
+         PRIM_ROTBOX, PRIM_ROTBOX_WALL],
         -1,
     )
     ktype = jnp.where(visible, ktype, -1).astype(jnp.float32)
 
     is_box = (pt == C.PROP_BOX)[:, None]
-    is_rot = (pt == C.PROP_ROTBOX)[:, None]
+    is_rot = ((pt == C.PROP_ROTBOX) | (pt == C.PROP_ROTBOX_WALL))[:, None]
     a_vec = jnp.where(is_box, props.pos - sc, props.pos)
     radii = sc.at[:, 1].set(jnp.where(pt == C.PROP_CAPSULE, 2.0 * sc[:, 1], sc[:, 1]))
     quad_b = jnp.stack([sc[:, 0], sc[:, 2], 0.5 * sc[:, 1]], axis=1)
@@ -1405,9 +1501,13 @@ def build_prim_table(
     b_vec = jnp.where(is_box, props.pos + sc,
                       jnp.where(is_rot, rot_b, jnp.where(is_ell, radii, quad_b)))
     c_vec = jnp.where(is_rot, sc, jnp.zeros_like(sc))
+    # col 11: the fused wall row's edging packed color
+    is_wall = (pt == C.PROP_ROTBOX_WALL)[:, None]
+    col11 = jnp.where(is_wall, palette[props.color2],
+                      jnp.zeros((p, 1), jnp.float32))
     rows_prop = jnp.concatenate(
-        [ktype[:, None], a_vec, b_vec, palette[props.color], c_vec,
-         jnp.zeros((p, 1), jnp.float32)], axis=1)
+        [ktype[:, None], a_vec, b_vec, palette[props.color], c_vec, col11],
+        axis=1)
 
     # Agent bodies + eye boxes.
     if not include_agent_rows:

@@ -73,6 +73,7 @@ class HostScene:
         self.props_scale = np.zeros((p, 3), np.float32)
         self.props_yaw = np.zeros((p,), np.float32)
         self.props_color = np.zeros((p,), np.uint8)
+        self.props_color2 = np.zeros((p,), np.uint8)
         self.props_flags = np.zeros((p,), np.uint8)
         # cursor per segment; the legacy (unsegmented) layout is one untyped
         # segment spanning the whole table.
@@ -151,7 +152,8 @@ class HostScene:
         return self._legacy_cursor
 
     def add_prop(self, ptype: int, pos, scale, color: int,
-                 solid: bool = False, movable: bool = False, yaw: float = 0.0) -> int:
+                 solid: bool = False, movable: bool = False, yaw: float = 0.0,
+                 color2: int = 0) -> int:
         flags = PROP_FLAG_VISIBLE
         if solid:
             flags |= PROP_FLAG_SOLID
@@ -180,6 +182,7 @@ class HostScene:
         self.props_scale[idx] = np.asarray(scale, np.float32)
         self.props_yaw[idx] = float(yaw)
         self.props_color[idx] = color
+        self.props_color2[idx] = color2
         self.props_flags[idx] = flags
         return idx
 
@@ -247,7 +250,8 @@ class HostScene:
             props=PropState(
                 type=self.props_type, pos=self.props_pos,
                 scale=self.props_scale, yaw=self.props_yaw,
-                color=self.props_color, flags=self.props_flags,
+                color=self.props_color, color2=self.props_color2,
+                flags=self.props_flags,
             ),
             agent_spawn=self.agent_spawn,
             agent_yaw=self.agent_yaw,

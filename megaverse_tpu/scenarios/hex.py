@@ -7,13 +7,17 @@ the HexagonalMazeComponent maze (component_hexagonal_maze.cpp:19-128: Kruskal
 honeycomb, scale 3.5, random wall height 0.85-1.4, random wall-omission
 probability, landmark decorations, colored edging).
 
-Maze walls are y-rotated thin boxes: rendered as PROP_ROTBOX primitives and
-collided EXACTLY via per-env OBB tables (player_step(obbs=...):
-capsule-vs-rotated-box push-out after the grid slide, plus wall-top landing
-support) — matching the reference's Bullet wall bodies
-(component_hexagonal_maze.cpp:109-113; only the main wall box collides,
-landmarks/edging are drawables). This replaced the round-2 conservative
-voxelization, which blocked agents about one voxel early.
+Maze walls are y-rotated thin boxes: each wall + its bottom edging strip is
+rendered as ONE fused PROP_ROTBOX_WALL primitive (the edging geometry is
+derived from the wall's extents — C.WALL_EDGE_* — and the row carries both
+colors; the renderer shares the rotated-ray math between the two slab tests,
+halving the dominant row population of hex scenes). Landmark tabs stay plain
+PROP_ROTBOX rows. Collision is EXACT via per-env OBB tables
+(player_step(obbs=...): capsule-vs-rotated-box push-out after the grid
+slide, plus wall-top landing support) — matching the reference's Bullet wall
+bodies (component_hexagonal_maze.cpp:109-113; only the main wall box
+collides, landmarks/edging are drawables). This replaced the round-2
+conservative voxelization, which blocked agents about one voxel early.
 """
 
 from __future__ import annotations
@@ -145,14 +149,16 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
                 scene.add_prop(C.PROP_ROTBOX, (wx, wall_height + local[1], wz),
                                world_scale, color, yaw=rot_y)
 
-        if scene.prop_room(C.PROP_ROTBOX) >= 2:
-            scene.add_prop(C.PROP_ROTBOX, (cx, wall_height, cz),
+        if scene.prop_room(C.PROP_ROTBOX_WALL) >= 1:
+            # wall + bottom edging FUSED into one primitive row: the edging
+            # geometry (half_len*1.02 x wall_height*0.12 x 0.2, sitting on
+            # the floor) is derived in the renderer from the wall's extents
+            # (C.WALL_EDGE_*), and the row carries both colors — halves the
+            # dominant row population of hex scenes
+            scene.add_prop(C.PROP_ROTBOX_WALL, (cx, wall_height, cz),
                            (half_len, wall_height, 0.15),
-                           C.COLOR_IDX["DARK_BLUE"], yaw=rot_y)
-            # bottom edging
-            e_scale = np.array([half_len * 1.02, wall_height * 0.12, 0.2])
-            scene.add_prop(C.PROP_ROTBOX, (cx, e_scale[1], cz), e_scale,
-                           bottom_edging_color, yaw=rot_y)
+                           C.COLOR_IDX["DARK_BLUE"], yaw=rot_y,
+                           color2=bottom_edging_color)
 
         # exact collision body (cpp:109-113): center at wallTranslation,
         # half extents (length, wallHeight, 0.15)
@@ -191,8 +197,10 @@ class HexExploreState(struct.PyTreeNode):
 class HexExploreScenario(Scenario):
     name = "HexExplore"
     max_boxes = 8
-    ROTBOX_MAX = 1100
-    prop_segments = ((C.PROP_ROTBOX, ROTBOX_MAX), (C.PROP_CONE, 2))
+    ROTBOX_MAX = 440   # landmark tabs
+    prop_segments = ((C.PROP_ROTBOX, ROTBOX_MAX),
+                     (C.PROP_ROTBOX_WALL, WALL_OBB_MAX),
+                     (C.PROP_CONE, 2))
     shaping_keys = (K_EXPLORE,)
 
     def grid_config(self) -> GridConfig:
@@ -300,7 +308,8 @@ class HexMemoryScenario(Scenario):
     # walls/edging/landmark tabs | pillar cylinders | diamond cones | spheres
     # (objects + the landmark object can all be one shape in the worst case)
     prop_segments = (
-        (C.PROP_ROTBOX, 1100),
+        (C.PROP_ROTBOX, 440),
+        (C.PROP_ROTBOX_WALL, WALL_OBB_MAX),
         (C.PROP_CYLINDER, 3 * MEM_MAX_OBJECTS + 3),
         (C.PROP_CONE, 2 * MEM_MAX_OBJECTS + 2),
         (C.PROP_SPHERE, MEM_MAX_OBJECTS + 1),

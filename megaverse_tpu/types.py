@@ -91,6 +91,8 @@ class PropState(struct.PyTreeNode):
     scale: jax.Array  # f32   [P,3]
     yaw: jax.Array    # f32   [P] rotation about +Y (used by PROP_ROTBOX)
     color: jax.Array  # uint8 [P] palette index
+    # secondary palette index: PROP_ROTBOX_WALL's bottom-edging color
+    color2: jax.Array  # uint8 [P]
     # bit0: solid (blocks agents), bit1: visible, bit2: interactable/movable
     flags: jax.Array  # uint8 [P]
 
@@ -103,6 +105,7 @@ class PropState(struct.PyTreeNode):
             scale=jnp.zeros((p, 3), jnp.float32),
             yaw=jnp.zeros((p,), jnp.float32),
             color=jnp.zeros((p,), jnp.uint8),
+            color2=jnp.zeros((p,), jnp.uint8),
             flags=jnp.zeros((p,), jnp.uint8),
         )
 
