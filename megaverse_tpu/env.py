@@ -139,6 +139,26 @@ def should_defer_reset(scenario) -> bool:
     return approx > 32 * 1024
 
 
+def reset_slot_count(num_envs: int, episode_len_sec: float) -> int:
+    """Slot budget for apply_deferred_resets.
+
+    The K-slot gather/scatter reads and writes max_slots envs' full layouts
+    EVERY step regardless of how many actually finished (clamped gather
+    indices still move the bytes), so on big-grid scenarios (Obstacles:
+    ~4 MB/env of packed cols + vterrain + vobj) oversized slots become the
+    dominant sim-side HBM term — 32 slots cost ~7 ms/step on the dev chip.
+    Expected resets per step are num_envs / episode_steps (~1 for 1024 envs
+    at the 90 s / 15 Hz obstacles episode); 8x that covers the Poisson tail
+    far past p99.99, and genuine sync bursts (first-cycle timeouts) take the
+    full-select fallback branch once per cycle."""
+    steps = max(1.0, float(episode_len_sec) * C.DEFAULT_FRAME_RATE)
+    expected = num_envs / steps
+    k = 4
+    while k < 8 * expected and k < 32:
+        k *= 2
+    return k
+
+
 def apply_deferred_resets(state, next_scenes, done, max_slots: int = 32):
     """Batched completion of env_step(defer_reset=True): copy the layout-
     copy leaves (DEFERRED_RESET_FIELDS) from next_scenes into the state for

@@ -178,6 +178,79 @@ def solid_from_cols(cfg: GridConfig, cols: jax.Array, ii: jax.Array) -> jax.Arra
     return valid & (bit != 0)
 
 
+def _col_word(cols: jax.Array, xc, wi, zc) -> jax.Array:
+    """cols[x, wi, z] with wi clamped and out-of-range words reading 0."""
+    W = cols.shape[-2]
+    w = cols[xc, jnp.minimum(wi, W - 1), zc]
+    return jnp.where(wi < W, w, jnp.uint32(0))
+
+
+def first_free_above(cfg: GridConfig, cols: jax.Array, ii: jax.Array,
+                     max_scan: int) -> jax.Array:
+    """Climb coords [..., 3] upward while their voxel is SOLID, capped at
+    max_scan steps — bit-exact replacement for the sequential loop
+    `voxel.y += 1 while solid_from_cols(voxel)` (FallDetectionComponent's
+    respawn climb, component_fall_detection.hpp:49-56): the packed column
+    words already hold the whole Y range, so ONE two-word gather plus a
+    count-trailing-ones replaces max_scan gathers. Out-of-bounds coords
+    read "free" and stay put, exactly like the loop (solid_from_cols
+    returns False there). Requires max_scan <= 32."""
+    assert max_scan <= 32
+    dims = jnp.asarray(cfg.dims, jnp.int32)
+    x, y0, z = ii[..., 0], ii[..., 1], ii[..., 2]
+    xz_ok = ((x >= 0) & (x < dims[0]) & (z >= 0) & (z < dims[2])
+             & (y0 >= 0))
+    xc = jnp.clip(x, 0, dims[0] - 1)
+    zc = jnp.clip(z, 0, dims[2] - 1)
+    y0c = jnp.maximum(y0, 0)
+    wi = y0c >> 5
+    s = (y0c & 31).astype(jnp.uint32)
+    w0 = _col_word(cols, xc, wi, zc)
+    w1 = _col_word(cols, xc, wi + 1, zc)
+    # 32-bit window: bit k = SOLID at cell y0 + k (bits past the grid top
+    # are 0 = free, matching the loop's out-of-bounds stop)
+    win = (w0 >> s) | jnp.where(s == 0, jnp.uint32(0),
+                                w1 << (jnp.uint32(32) - s))
+    m = ~win                           # 1 = free
+    t = m & (~m + jnp.uint32(1))       # lowest set bit
+    dy = jnp.where(m == 0, jnp.int32(32),
+                   31 - jax.lax.clz(t).astype(jnp.int32))
+    dy = jnp.where(xz_ok, jnp.minimum(dy, max_scan), 0)
+    return ii.at[..., 1].set(y0 + dy)
+
+
+def first_support_below(cfg: GridConfig, cols: jax.Array, ii: jax.Array,
+                        max_scan: int) -> jax.Array:
+    """Descend coords [..., 3] while the voxel BELOW is free, capped at
+    max_scan steps — bit-exact replacement for the gravity-settle loop
+    `voxel.y -= 1 while not solid(below) and below.y >= 0`
+    (ObjectStackingComponent place settle, hpp:101-115; callers guarantee
+    every object voxel also has its SOLID bit set, so the cols word alone
+    decides support). y=0 acts as floor (below < 0 stops), matching the
+    loop. Requires max_scan <= 32."""
+    assert max_scan <= 32
+    dims = jnp.asarray(cfg.dims, jnp.int32)
+    x, y0, z = ii[..., 0], ii[..., 1], ii[..., 2]
+    xz_ok = ((x >= 0) & (x < dims[0]) & (z >= 0) & (z < dims[2])
+             & (y0 >= 0))
+    xc = jnp.clip(x, 0, dims[0] - 1)
+    zc = jnp.clip(z, 0, dims[2] - 1)
+    y0c = jnp.maximum(y0, 0)
+    wi = y0c >> 5
+    s = (y0c & 31).astype(jnp.uint32)
+    w0 = _col_word(cols, xc, wi, zc)
+    wm = _col_word(cols, xc, wi - 1, zc)
+    wm = jnp.where(wi >= 1, wm, jnp.uint32(0))
+    # 32-bit window: bit 31 = SOLID at cell y0-1, bit 30 = y0-2, ...
+    # (descending). s==0: the window is exactly the word below.
+    bw = jnp.where(s == 0, wm,
+                   (w0 << (jnp.uint32(32) - s)) | (wm >> s))
+    free_run = jax.lax.clz(bw).astype(jnp.int32)   # consecutive free below
+    dy = jnp.minimum(jnp.minimum(free_run, y0c), max_scan)
+    dy = jnp.where(xz_ok, dy, 0)
+    return ii.at[..., 1].set(y0 - dy)
+
+
 def pack_solid_columns(cfg: GridConfig, vtype: jax.Array) -> jax.Array:
     """[X, Y, Z] voxel flags -> u32 [X, W, Z], W = ceil(Y/32); bit y%32 of
     word y//32 is the SOLID flag of cell y."""

@@ -95,9 +95,13 @@ class VectorEnv:
         )
 
         scen = self.scenario
-        from megaverse_tpu.env import apply_deferred_resets, should_defer_reset
+        from megaverse_tpu.env import (apply_deferred_resets,
+                                       reset_slot_count, should_defer_reset)
 
         defer = should_defer_reset(scen)
+        slots = reset_slot_count(
+            num_envs,
+            float(scen.cfg.params.get(C.P_EPISODE_LENGTH_SEC, 60.0)))
 
         def _step(state, next_scene, action, shaping):
             return env_step(scen, state, next_scene, action, shaping,
@@ -112,7 +116,7 @@ class VectorEnv:
                 # layout-copy leaves were excluded from the per-env select;
                 # see env.py).
                 return res._replace(state=apply_deferred_resets(
-                    res.state, next_scenes, res.done))
+                    res.state, next_scenes, res.done, max_slots=slots))
 
             self._vstep_inner = _vstep_inner
         else:
