@@ -116,6 +116,12 @@ PROP_ROTBOX = 5  # y-rotated box (maze landmarks); not a reference drawable type
 # fraction 0.12, half-depth 0.2 — scenarios/hex.py build_maze). One table row
 # ships both boxes and the renderer shares the rotated-ray math between them.
 PROP_ROTBOX_WALL = 6
+# Fused hex wall + bottom edging (PROP_ROTBOX_WALL). INVARIANT: a
+# PROP_ROTBOX_WALL's center-y must equal its y half-extent (the wall stands
+# on the floor, spanning y in [0, 2*hy]) — the renderer derives the edging
+# box from the wall's extents pinning the edging bottom to world y=0, and
+# build_clusters sizes the cluster AABB from the wall half-height alone
+# (asserted in scenarios/base.py add_prop).
 WALL_EDGE_LEN_SCALE = 1.02   # edging half-length = wall half-length * this
 WALL_EDGE_H_FRAC = 0.12      # edging half-height = wall half-height * this
 WALL_EDGE_HZ = 0.2           # edging half-depth (wall's is 0.15)

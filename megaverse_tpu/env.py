@@ -108,6 +108,12 @@ def env_step(
     if defer_reset:
         fresh = fresh.replace(
             **{f: getattr(state, f) for f in DEFERRED_RESET_FIELDS})
+        dsf = scenario.deferred_scen_fields
+        if dsf:
+            # layout-pure scen leaves (e.g. hex wall OBBs / PVS tables) are
+            # deferred the same way — they can be large and never mutate
+            fresh = fresh.replace(scen=fresh.scen.replace(
+                **{k: getattr(state.scen, k) for k in dsf}))
     state = tree_select(done, fresh, state.replace(rng=rng))
 
     if render_obs:
@@ -159,7 +165,8 @@ def reset_slot_count(num_envs: int, episode_len_sec: float) -> int:
     return k
 
 
-def apply_deferred_resets(state, next_scenes, done, max_slots: int = 32):
+def apply_deferred_resets(state, next_scenes, done, max_slots: int = 32,
+                          scen_fields: tuple = ()):
     """Batched completion of env_step(defer_reset=True): copy the layout-
     copy leaves (DEFERRED_RESET_FIELDS) from next_scenes into the state for
     done envs.
@@ -181,22 +188,29 @@ def apply_deferred_resets(state, next_scenes, done, max_slots: int = 32):
 
     fields = DEFERRED_RESET_FIELDS
 
+    def apply(state, op):
+        patched = {
+            f: jax.tree.map(op, getattr(state, f), getattr(next_scenes, f))
+            for f in fields}
+        if scen_fields:
+            patched["scen"] = state.scen.replace(**{
+                k: jax.tree.map(op, getattr(state.scen, k),
+                                getattr(next_scenes.scen, k))
+                for k in scen_fields})
+        return state.replace(**patched)
+
     def few(state):
         def patch(dst, src):
             return dst.at[sidx].set(src[gidx], mode="drop")
 
-        return state.replace(**{
-            f: jax.tree.map(patch, getattr(state, f), getattr(next_scenes, f))
-            for f in fields})
+        return apply(state, patch)
 
     def full(state):
         def sel(dst, src):
             p = done.reshape((bsz,) + (1,) * (dst.ndim - 1))
             return jnp.where(p, src, dst)
 
-        return state.replace(**{
-            f: jax.tree.map(sel, getattr(state, f), getattr(next_scenes, f))
-            for f in fields})
+        return apply(state, sel)
 
     return jax.lax.cond(n <= idx.shape[0], few, full, state)
 
@@ -352,6 +366,10 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
     cfg = scenario.cfg
     backend = backend or renderer_backend()
     segments = cfg.prop_segments
+    # (ptype, full-capacity start, kept-count) slices applied to the prop
+    # tables below; also applied to the scenario's per-row PVS bits so their
+    # row indexing tracks the bucketed table.
+    row_mask_keep = None
     if bucket is not None:
         mb = max(1, min(int(bucket[0]), states.box_color.shape[1]))
         pb = bucket[1]
@@ -362,6 +380,7 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
             counts = [min(int(k), cap) for k, (_, _, cap) in zip(pb, segments)]
             keep = [(ptype, start, k)
                     for (ptype, start, cap), k in zip(segments, counts) if k]
+            row_mask_keep = keep
             if keep:
                 def slice_props(x):
                     return jnp.concatenate(
@@ -384,6 +403,7 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
             # pb == 0 is allowed: a scenario whose layouts never contain
             # props (Empty) renders zero prop rows.
             pb = max(0, min(int(pb), states.props.type.shape[1]))
+            row_mask_keep = [(None, 0, pb)] if pb else []
             states = states.replace(
                 box_lo=states.box_lo[:, :mb],
                 box_hi=states.box_hi[:, :mb],
@@ -424,8 +444,33 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
             prims = jax.vmap(
                 lambda p, c: RP.pad_prims_to_clusters(p, c),
                 in_axes=(0, 0))(prims, clusters)
+            cluster_mask = None
+            if not os.environ.get("MEGAVERSE_NO_PVS"):
+                row_bits = scenario.render_row_mask(states)
+                if row_bits is not None:
+                    # align the full-capacity per-prop-row bits with the
+                    # prim table: boxes prefix (always visible) + the same
+                    # per-segment slices the prop tables got + agent rows +
+                    # cluster padding (padding clusters are dead anyway),
+                    # then reduce to per-cluster bits
+                    bsz, na = row_bits.shape[:2]
+                    parts = [jnp.ones(
+                        (bsz, na, states.box_color.shape[1]), bool)]
+                    if row_mask_keep is None:
+                        parts.append(row_bits)
+                    else:
+                        parts += [row_bits[:, :, s:s + k]
+                                  for _, s, k in row_mask_keep]
+                    rb = jnp.concatenate(parts, axis=2)
+                    pad = prims.shape[1] - rb.shape[2]
+                    if pad > 0:
+                        rb = jnp.concatenate(
+                            [rb, jnp.ones((bsz, na, pad), bool)], axis=2)
+                    cluster_mask = rb.reshape(
+                        bsz, na, -1, RP.CLUSTER_K).any(axis=3)
             scbits, clbits = RP.cull_bits(
-                cams, clusters, cfg.obs_height, cfg.obs_width)
+                cams, clusters, cfg.obs_height, cfg.obs_width,
+                cluster_mask=cluster_mask)
         elif not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
             prims, clusters = jax.vmap(RP.build_clusters)(prims)
             if not os.environ.get("MEGAVERSE_NO_CLUSTER_SORT"):

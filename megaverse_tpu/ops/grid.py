@@ -219,38 +219,6 @@ def first_free_above(cfg: GridConfig, cols: jax.Array, ii: jax.Array,
     return ii.at[..., 1].set(y0 + dy)
 
 
-def first_support_below(cfg: GridConfig, cols: jax.Array, ii: jax.Array,
-                        max_scan: int) -> jax.Array:
-    """Descend coords [..., 3] while the voxel BELOW is free, capped at
-    max_scan steps — bit-exact replacement for the gravity-settle loop
-    `voxel.y -= 1 while not solid(below) and below.y >= 0`
-    (ObjectStackingComponent place settle, hpp:101-115; callers guarantee
-    every object voxel also has its SOLID bit set, so the cols word alone
-    decides support). y=0 acts as floor (below < 0 stops), matching the
-    loop. Requires max_scan <= 32."""
-    assert max_scan <= 32
-    dims = jnp.asarray(cfg.dims, jnp.int32)
-    x, y0, z = ii[..., 0], ii[..., 1], ii[..., 2]
-    xz_ok = ((x >= 0) & (x < dims[0]) & (z >= 0) & (z < dims[2])
-             & (y0 >= 0))
-    xc = jnp.clip(x, 0, dims[0] - 1)
-    zc = jnp.clip(z, 0, dims[2] - 1)
-    y0c = jnp.maximum(y0, 0)
-    wi = y0c >> 5
-    s = (y0c & 31).astype(jnp.uint32)
-    w0 = _col_word(cols, xc, wi, zc)
-    wm = _col_word(cols, xc, wi - 1, zc)
-    wm = jnp.where(wi >= 1, wm, jnp.uint32(0))
-    # 32-bit window: bit 31 = SOLID at cell y0-1, bit 30 = y0-2, ...
-    # (descending). s==0: the window is exactly the word below.
-    bw = jnp.where(s == 0, wm,
-                   (w0 << (jnp.uint32(32) - s)) | (wm >> s))
-    free_run = jax.lax.clz(bw).astype(jnp.int32)   # consecutive free below
-    dy = jnp.minimum(jnp.minimum(free_run, y0c), max_scan)
-    dy = jnp.where(xz_ok, dy, 0)
-    return ii.at[..., 1].set(y0 - dy)
-
-
 def pack_solid_columns(cfg: GridConfig, vtype: jax.Array) -> jax.Array:
     """[X, Y, Z] voxel flags -> u32 [X, W, Z], W = ceil(Y/32); bit y%32 of
     word y//32 is the SOLID flag of cell y."""

@@ -64,9 +64,10 @@ TILE_W = 128
 # routines when no ray can produce a closer hit. The analogue of the tile
 # binning a GPU rasterizer gets from its hardware scan converter; on heavy
 # scenes (Collect terrain ~500 rows) most clusters miss most tiles.
-# K=4: with per-tile frustum lists + early exit, cluster *tests* are nearly
-# free, so finer clusters win — every surviving cluster costs K row
-# intersections and tighter AABBs survive less often.
+# K=8 (was 4): fusing each hex wall with its bottom edging halved the
+# dominant row population of hex scenes, so the same spatial neighborhood
+# now fits in half the rows — coarser clusters amortize the per-cluster
+# scalar work (bit loads, tag switch) without losing AABB tightness.
 CLUSTER_K = 8
 # Clusters per SUPERcluster (second culling level): the per-tile sorted lists
 # (and the XLA sort building them — strongly superlinear in list length on
@@ -1390,7 +1391,8 @@ def frustum_cull(cams: jax.Array, clusters: jax.Array,
 
 def cull_bits(cams: jax.Array, clusters: jax.Array, height: int, width: int,
               super_k: int = SUPER_K,
-              tile_h: int = TILE_H, tile_w: int = TILE_W):
+              tile_h: int = TILE_H, tile_w: int = TILE_W,
+              cluster_mask: jax.Array | None = None):
     """Packed per-tile cluster survival bitmasks for the bit-walk kernel.
 
     cams [B, A, 8], clusters [B, G, 8] (G % super_k == 0) ->
@@ -1409,6 +1411,11 @@ def cull_bits(cams: jax.Array, clusters: jax.Array, height: int, width: int,
     indices), so a strict `t < bt` carry is bit-identical to the XLA table
     renderer's in-order scan."""
     survive = _tile_survive(cams, clusters, height, width, tile_h, tile_w)
+    if cluster_mask is not None:
+        # conservative per-(env, agent, cluster) visibility bits (scenario
+        # PVS, ops/pvs.py): a False bit proves no ray can hit the cluster's
+        # rows, so ANDing it in cannot change the image
+        survive = survive & cluster_mask[:, :, None, :]
     g = survive.shape[-1]
     assert g % super_k == 0, (g, super_k)
 

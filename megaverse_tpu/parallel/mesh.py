@@ -90,7 +90,30 @@ class ParallelLearner:
         n = self.mesh.devices.size
         return ls._replace(rng=jax.random.split(jax.random.fold_in(rng, 7), n))
 
+    def _use_host_rollout(self) -> bool:
+        """Single-chip tunneled dev TPUs drive the rollout from the host
+        (Learner.train_step_host): a Pallas render inside lax.scan costs a
+        host round-trip per iteration there. Real hardware and multi-chip
+        meshes keep the single sharded program.
+        MEGAVERSE_TRAIN_ROLLOUT=scan|host overrides."""
+        import os
+
+        forced = os.environ.get("MEGAVERSE_TRAIN_ROLLOUT")
+        if forced == "scan":
+            return False
+        if forced == "host":
+            return True
+        from megaverse_tpu.utils.platform import is_tunneled_tpu
+
+        return self.mesh.devices.size == 1 and is_tunneled_tpu()
+
     def train_step(self, ls: LearnerState, next_scenes: SceneData, shaping):
+        if self._use_host_rollout():
+            # unwrap the [n_devices]-leading rng for the unsharded path
+            inner = ls._replace(rng=ls.rng[0])
+            inner, metrics = self.learner.train_step_host(
+                inner, next_scenes, shaping)
+            return inner._replace(rng=inner.rng[None]), metrics
         out = self._jitted(ls.params, ls.opt_state, ls.env_state, ls.obs,
                            ls.carry, ls.rng, ls.step, next_scenes, shaping)
         (params, opt_state, env_state, obs, carry, rng, step, metrics) = out

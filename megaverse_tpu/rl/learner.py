@@ -143,7 +143,8 @@ class Learner:
             def vstep(env_state, scenes, mask, shaping):
                 res = vstep_mapped(env_state, scenes, mask, shaping)
                 return res._replace(state=apply_deferred_resets(
-                    res.state, scenes, res.done))
+                    res.state, scenes, res.done,
+                    scen_fields=scen.deferred_scen_fields))
         else:
             vstep = vstep_mapped
 
@@ -178,6 +179,74 @@ class Learner:
             step=ls.step + self.cfg.rollout * self.num_envs,
         )
         return new_ls, batch
+
+    # ------------------------------------------------- host-driven rollout
+    # On tunneled dev TPUs a Pallas render inside lax.scan degrades to a
+    # host round-trip per iteration (~100 ms; same pathology VectorEnv's
+    # step_many avoids) — measured TowerBuilding training at ~4% of its
+    # sampling throughput. The host-driven variant issues ONE fused jitted
+    # dispatch per rollout step (policy + env step + render) from a Python
+    # loop, then runs the jitted PPO update on the stacked trajectory.
+    # Bit-compatible with the scan rollout (same ops per step, same order);
+    # real TPUs keep the single-program scan (ParallelLearner gates).
+    def _host_rollout_step_fn(self):
+        if hasattr(self, "_host_step"):
+            return self._host_step
+        scen = self.scenario
+        from megaverse_tpu.env import apply_deferred_resets, should_defer_reset
+
+        defer = should_defer_reset(scen)
+        vstep_mapped = jax.vmap(
+            functools.partial(env_step, scen, render_obs=False,
+                              defer_reset=defer), in_axes=(0, 0, 0, 0))
+
+        def rollout_step(params, env_state, obs, rnn, rng, next_scenes,
+                         shaping):
+            rng, k = jax.random.split(rng)
+            logits, value, rnn2 = self.model.apply(params, obs, rnn)
+            actions, logp = sample_actions(logits, k)
+            mask = multidiscrete_to_bitmask(actions)
+            res = vstep_mapped(env_state, next_scenes, mask, shaping)
+            if defer:
+                res = res._replace(state=apply_deferred_resets(
+                    res.state, next_scenes, res.done,
+                    scen_fields=scen.deferred_scen_fields))
+            new_obs = render_batch(scen, res.state, fmt="packed",
+                                   bucket=self.render_bucket,
+                                   backend=self.render_backend)
+            rnn2 = jnp.where(res.done[:, None, None], 0.0, rnn2)
+            reward = res.reward
+            if self.cfg.reward_clip > 0:
+                reward = jnp.clip(reward, -self.cfg.reward_clip,
+                                  self.cfg.reward_clip)
+            out = (actions.astype(jnp.int32), logp, value, reward, res.done)
+            return (res.state, new_obs, rnn2, rng), out
+
+        self._host_step = jax.jit(rollout_step)
+        return self._host_step
+
+    def train_step_host(self, ls: LearnerState, next_scenes: SceneData,
+                        shaping: jax.Array):
+        """train_step with the rollout driven from the host (tunnel mode)."""
+        step_fn = self._host_rollout_step_fn()
+        if not hasattr(self, "_update_jit"):
+            self._update_jit = jax.jit(
+                functools.partial(self._update_from_batch, axis_name=None))
+        env_state, obs, rnn, rng = ls.env_state, ls.obs, ls.carry, ls.rng
+        init_carry = ls.carry
+        outs = []
+        for _ in range(self.cfg.rollout):
+            prev_obs = obs
+            (env_state, obs, rnn, rng), out = step_fn(
+                ls.params, env_state, prev_obs, rnn, rng, next_scenes,
+                shaping)
+            outs.append((prev_obs,) + out)
+        traj = [jnp.stack(x) for x in zip(*outs)]
+        batch = RolloutBatch(*traj, init_carry=init_carry)
+        ls = ls._replace(
+            env_state=env_state, obs=obs, carry=rnn, rng=rng,
+            step=ls.step + self.cfg.rollout * self.num_envs)
+        return self._update_jit(ls, batch)
 
     # ------------------------------------------------------------------ loss
     def _forward_sequence(self, params, batch: RolloutBatch):
@@ -262,6 +331,10 @@ class Learner:
         """One rollout + one PPO update. If axis_name is given, gradients are
         psum-averaged across that mesh axis (data parallelism over envs)."""
         ls, batch = self.collect_rollout(ls, next_scenes, shaping)
+        return self._update_from_batch(ls, batch, axis_name)
+
+    def _update_from_batch(self, ls: LearnerState, batch: RolloutBatch,
+                           axis_name: Optional[str] = None):
         _, last_value, _ = self._policy(ls.params, ls.obs, ls.carry)
         norm_adv, returns = self._gae(batch, last_value)
 

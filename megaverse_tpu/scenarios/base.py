@@ -177,6 +177,10 @@ class HostScene:
                     f"scene has more than max_props={self.cfg.max_props} props")
             idx = self._legacy_cursor
             self._legacy_cursor += 1
+        if ptype == C.PROP_ROTBOX_WALL:
+            # renderer invariant (constants.py WALL_EDGE_*): wall stands on
+            # the floor, center-y == y half-extent
+            assert abs(float(pos[1]) - float(scale[1])) < 1e-5, (pos, scale)
         self.props_type[idx] = ptype
         self.props_pos[idx] = np.asarray(pos, np.float32)
         self.props_scale[idx] = np.asarray(scale, np.float32)
@@ -406,6 +410,20 @@ class Scenario:
         yaw) for scenarios whose walls are exact rotated bodies in the
         reference (hex mazes, component_hexagonal_maze.cpp:79-113), or None.
         Rows with hy <= 0 are inert padding."""
+        return None
+
+    # scen-pytree leaves that are pure copies of the generated layout (never
+    # mutated in-episode): excluded from the per-step auto-reset select and
+    # patched by the K-slot deferred scatter instead (env.py defer_reset).
+    deferred_scen_fields: Tuple[str, ...] = ()
+
+    def render_row_mask(self, states) -> "Optional[Any]":
+        """Conservative per-prop-row visibility bits bool [B, A, prop_cap]
+        for a BATCH of envs, or None. A False bit promises no camera ray
+        from that agent can hit the row's primitive this frame; the pallas
+        culling prologue ANDs it into the per-tile survival bits (the image
+        is bit-identical by construction). Hex mazes implement this with the
+        episode-generation PVS (utils/pvs.py)."""
         return None
 
     def default_params(self) -> Dict[str, float]:

@@ -285,12 +285,13 @@ def fall_detection_step(
     visual_y = agents.pos[..., 1] + C.AGENT_BODY_OFFSET_Y
     fell = visual_y < fall_threshold
 
-    # Initial position -> voxel; climb while non-empty.
+    # Initial position -> voxel; climb while non-empty. The packed column
+    # words hold the whole Y range, so one two-word gather + count-trailing-
+    # ones replaces max_up_scan sequential gathers (bit-exact vs the loop;
+    # test_grid.py::test_first_free_above_matches_loop).
     start = agents.spawn_pos - jnp.asarray([0.0, C.AGENT_HEIGHT, 0.0])  # pre-offset spawn
-    voxel = G.world_to_voxel(cfg, start)
-    for _ in range(max_up_scan):
-        occupied = G.solid_from_cols(cfg, state.cols, voxel)
-        voxel = jnp.where(occupied[:, None], voxel + jnp.asarray([0, 1, 0]), voxel)
+    voxel = G.first_free_above(cfg, state.cols, G.world_to_voxel(cfg, start),
+                               max_scan=max_up_scan)
 
     # teleport: warp (kcc.cpp:509-517) zeroes velocities. The reference
     # teleports to the voxel center and lets penetration recovery push the

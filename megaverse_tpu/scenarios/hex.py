@@ -76,9 +76,16 @@ def add_shape(scene: HostScene, shape: int, color: int, loc, scale) -> int:
     return top
 
 
+# Conservative PVS is computed for mazes up to this wall-omission level:
+# above it the maze is mostly open (few walls -> cheap to render, visibility
+# genuinely long-range) and the portal DFS cost stops paying for itself.
+PVS_OMIT_MAX = 0.45
+PVS_BUDGET = 4000  # DFS nodes per source cell (utils/pvs.cell_visibility)
+
+
 def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
                max_size: int, omit_min: float, omit_max: float):
-    """Generate the maze into the scene; returns (maze, size, wall_obbs).
+    """Generate the maze into the scene; returns (maze, size, wall_obbs, pvs).
 
     Mirrors HexagonalMazeComponent::reset + addDrawablesAndCollisions. Wall
     and landmark props draw from the ROTBOX segment; collision is a list of
@@ -86,7 +93,14 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
     physics OBB pass — matching the reference, where only the main wall box
     gets a RigidBody (cpp:109-113; landmarks and edging are drawables only).
     The OBB list is unconditional, so running out of render rows never
-    changes physics."""
+    changes physics.
+
+    `pvs` is None (PVS skipped: open maze) or a dict with the conservative
+    per-cell visibility data the scenario turns into render-row masks:
+    centers_m [C,2] maze-unit cell centers, cellvis [C,C] bool, wall_segs_m
+    [W,4] maze-unit wall segments and wall_rows [W] absolute prop-row
+    indices (only walls that got a render row), walltop (world y of the
+    wall-top plane)."""
     size = int(rng.integers(min_size, max_size))
     maze = HoneycombMaze(size, rng)
     wall_height = rng.random() * 0.55 + 0.85
@@ -106,22 +120,74 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
     imax = scene.world_to_voxel([xmax, -0.1, ymax])
     scene.fill_box_voxels(imin, imax, C.VOXEL_SOLID, color=0)
 
-    walls = maze_walls(maze, rng, omit_p)
-    # Morton-order the walls so consecutive prop rows are spatial neighbors:
-    # renderer clusters are CONSECUTIVE table rows, and maze-edge iteration
-    # order scatters them across the maze — tight cluster AABBs cull much
-    # better per tile. (Hex has no reference-stream parity to preserve —
-    # maze topology comes from std::random_device in the reference.)
-    def _morton(w):
-        mx = int((w[0] + w[2]) * 0.5 * MAZE_SCALE + 64)
-        mz = int((w[1] + w[3]) * 0.5 * MAZE_SCALE + 64)
+    kept: List[int] = []
+    walls = maze_walls(maze, rng, omit_p, kept_out=kept)
+
+    # Conservative cell-to-cell PVS (utils/pvs.py) for closed-enough mazes;
+    # open mazes skip it (few walls -> cheap render, visibility genuinely
+    # long-range, and the portal DFS cost stops paying for itself).
+    cellvis = None
+    if omit_p <= PVS_OMIT_MAX:
+        from megaverse_tpu.utils.pvs import cell_visibility
+
+        cellvis = cell_visibility(maze, set(kept), budget=PVS_BUDGET)
+
+    # Order walls so consecutive prop rows cull together: renderer clusters
+    # are CONSECUTIVE table rows, so a cluster should hold walls that are
+    # both SPATIALLY tight (small cluster AABB -> sharp frustum culling) and
+    # CO-VISIBLE (shared PVS bits -> sharp occlusion culling; a pure spatial
+    # Morton order interleaves opposite sides of a wall line, diluting a
+    # 0.23 visible-row fraction to ~0.8 at cluster level, while a pure
+    # co-visibility order strings clusters along corridors, fattening their
+    # AABBs and doubling frustum survivors — measured both). A DFS preorder
+    # over the PORTAL graph gives both at once: corridor cells come out in
+    # runs, and walls keyed by their first adjacent cell in that order are
+    # neighbors exactly when they bound the same corridor stretch. (Hex has
+    # no reference-stream parity to preserve — maze topology comes from
+    # std::random_device in the reference.)
+    def _morton_xy(mx, mz):
+        mx, mz = int(mx + 64), int(mz + 64)
         code = 0
         for b in range(8):
             code |= ((mx >> b) & 1) << (2 * b) | ((mz >> b) & 1) << (2 * b + 1)
         return code
 
-    walls = sorted(walls, key=_morton)
+    if len(walls):
+        from megaverse_tpu.utils.pvs import maze_portal_arrays
+
+        neigh, open_, _ = maze_portal_arrays(maze, set(kept))
+        order = np.full((len(maze.cells),), -1, np.int64)
+        stack = [0]
+        nseen = 0
+        while stack:
+            cell = stack.pop()
+            if order[cell] >= 0:
+                continue
+            order[cell] = nseen
+            nseen += 1
+            for n in range(6):
+                j = neigh[cell, n]
+                if j >= 0 and open_[cell, n] and order[j] < 0:
+                    stack.append(j)
+        order[order < 0] = nseen  # unreachable cells (shouldn't happen)
+
+        ctrs = maze.centers
+
+        def wall_key(w):
+            mid = np.array([(w[0] + w[2]) * 0.5, (w[1] + w[3]) * 0.5])
+            d2 = ((ctrs - mid) ** 2).sum(axis=1)
+            near = np.argsort(d2)[:3]
+            touch = near[d2[near] <= (1.0 + 0.1) ** 2]
+            first = int(order[touch].min()) if len(touch) else int(order[near[0]])
+            return (first, _morton_xy(mid[0] * MAZE_SCALE, mid[1] * MAZE_SCALE))
+
+        walls = sorted(walls, key=wall_key)
+
+    lm_rows: List[int] = []
+    lm_xz: List[tuple] = []
     wall_obbs = []
+    wall_rows: List[int] = []
+    wall_segs_m: List[tuple] = []
     for (x1, z1, x2, z2) in walls:
         x1, z1, x2, z2 = (c * MAZE_SCALE for c in (x1, z1, x2, z2))
         seg = np.hypot(x1 - x2, z1 - z2)
@@ -146,8 +212,14 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
                 wx = cx + rc * local[0] + rs * local[2]
                 wz = cz - rs * local[0] + rc * local[2]
                 color = int(C.ALL_COLORS[rng.integers(0, len(C.ALL_COLORS))])
-                scene.add_prop(C.PROP_ROTBOX, (wx, wall_height + local[1], wz),
-                               world_scale, color, yaw=rot_y)
+                lrow = scene.add_prop(
+                    C.PROP_ROTBOX, (wx, wall_height + local[1], wz),
+                    world_scale, color, yaw=rot_y)
+                # landmark tabs sit fully below the wall-top plane (max top
+                # 0.8*wh + 0.78 < 2*wh for wh >= 0.85), so they are
+                # PVS-gated like walls
+                lm_rows.append(lrow)
+                lm_xz.append((wx, wz))
 
         if scene.prop_room(C.PROP_ROTBOX_WALL) >= 1:
             # wall + bottom edging FUSED into one primitive row: the edging
@@ -155,17 +227,98 @@ def build_maze(scene: HostScene, rng: np.random.Generator, min_size: int,
             # the floor) is derived in the renderer from the wall's extents
             # (C.WALL_EDGE_*), and the row carries both colors — halves the
             # dominant row population of hex scenes
-            scene.add_prop(C.PROP_ROTBOX_WALL, (cx, wall_height, cz),
-                           (half_len, wall_height, 0.15),
-                           C.COLOR_IDX["DARK_BLUE"], yaw=rot_y,
-                           color2=bottom_edging_color)
+            row = scene.add_prop(C.PROP_ROTBOX_WALL, (cx, wall_height, cz),
+                                 (half_len, wall_height, 0.15),
+                                 C.COLOR_IDX["DARK_BLUE"], yaw=rot_y,
+                                 color2=bottom_edging_color)
+            wall_rows.append(row)
+            wall_segs_m.append((x1 / MAZE_SCALE, z1 / MAZE_SCALE,
+                                x2 / MAZE_SCALE, z2 / MAZE_SCALE))
 
         # exact collision body (cpp:109-113): center at wallTranslation,
         # half extents (length, wallHeight, 0.15)
         wall_obbs.append((cx, wall_height, cz, half_len, wall_height, 0.15,
                           rot_y))
 
-    return maze, size, wall_obbs
+    pvs = None
+    if cellvis is not None:
+        pvs = dict(
+            centers_m=maze.centers,
+            cellvis=cellvis,
+            wall_segs_m=np.asarray(wall_segs_m, np.float64).reshape(-1, 4),
+            wall_rows=np.asarray(wall_rows, np.int64),
+            lm_rows=np.asarray(lm_rows, np.int64),
+            lm_xz=np.asarray(lm_xz, np.float64).reshape(-1, 2),
+            walltop=2.0 * wall_height,
+        )
+    return maze, size, wall_obbs, pvs
+
+
+# ---------------------------------------------------------------------------
+# PVS device tables (see utils/pvs.py for the algorithm, ops/pvs.py for the
+# render-time lookup)
+# ---------------------------------------------------------------------------
+
+PVS_CMAX = 169  # honeycomb cell count at max size 8: 3*8*7 + 1
+
+
+def make_pvs_tables(pvs, prop_cap: int, obj_pts_world=None,
+                    obj_radius: float = 0.5, obj_rows=None):
+    """Fixed-shape per-env PVS arrays for the scen pytree.
+
+    Returns (centers [PVS_CMAX, 2] f32 world-xz padded +1e9,
+    rows16 [PVS_CMAX+1, ceil(prop_cap/16)] i32 per-cell row-visibility bits
+    with an all-ones sentinel row, walltop f32; walltop <= 0 disables).
+
+    Gated rows: every wall row (visible from cell c iff any cell its
+    inflated footprint touches is in c's PVS) and, optionally, per-object
+    prop rows (obj_pts_world [K, 2] world-xz centers, obj_rows[k] = list of
+    absolute prop rows) — objects must sit fully below the wall-top plane,
+    which HexMemory's 0.6-scaled collectibles do (max top 1.17 < min top
+    1.7); taller always-visible props simply stay ungated. All other rows
+    (landmarks, boxes) stay visible."""
+    from megaverse_tpu.utils.pvs import (pack_rows16, point_adjacency,
+                                         wall_adjacency)
+
+    w16 = -(-prop_cap // 16)
+    centers = np.full((PVS_CMAX, 2), 1e9, np.float32)
+    if pvs is None:
+        rows16 = np.full((PVS_CMAX + 1, w16), 0xFFFF, np.int32)
+        return centers, rows16, np.float32(-1.0)
+    c = pvs["centers_m"].shape[0]
+    cv = pvs["cellvis"].astype(np.uint8)
+    rowvis = np.ones((PVS_CMAX + 1, prop_cap), bool)
+    if len(pvs["wall_rows"]):
+        adj = wall_adjacency(pvs["centers_m"], pvs["wall_segs_m"])
+        rowvis[:c, pvs["wall_rows"]] = (cv @ adj.astype(np.uint8)) > 0
+    if len(pvs["lm_rows"]):
+        # landmark tabs: protrude <= ~0.5 world units from the wall face
+        ladj = point_adjacency(pvs["centers_m"], pvs["lm_xz"] / MAZE_SCALE,
+                               0.6 / MAZE_SCALE)
+        rowvis[:c, pvs["lm_rows"]] = (cv @ ladj.astype(np.uint8)) > 0
+    if obj_rows:
+        padj = point_adjacency(pvs["centers_m"],
+                               np.asarray(obj_pts_world) / MAZE_SCALE,
+                               obj_radius / MAZE_SCALE)
+        obj_vis = (cv @ padj.astype(np.uint8)) > 0
+        for k, rows in enumerate(obj_rows):
+            for r in rows:
+                rowvis[:c, r] = obj_vis[:, k]
+    centers[:c] = pvs["centers_m"] * MAZE_SCALE
+    return centers, pack_rows16(rowvis), np.float32(pvs["walltop"])
+
+
+def _hex_row_mask(scenario, states):
+    """Shared render_row_mask implementation for the hex scenarios."""
+    import jax
+
+    from megaverse_tpu.ops import pvs as PVOPS
+
+    cap = sum(cap for _, _, cap in scenario.cfg.prop_segments)
+    return jax.vmap(lambda pos, ce, ro, wt: PVOPS.row_mask(
+        pos, ce, ro, wt, cap, MAZE_SCALE))(
+        states.agents.pos, states.scen.pvs_centers,
+        states.scen.pvs_rows16, states.scen.pvs_walltop)
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +345,9 @@ class HexExploreState(struct.PyTreeNode):
     reward_prop: jax.Array  # i32 (top cone of the diamond)
     solved: jax.Array       # bool
     wall_obbs: jax.Array    # f32 [WALL_OBB_MAX, 7] exact collision walls
+    pvs_centers: jax.Array  # f32 [PVS_CMAX, 2] world cell centers (+1e9 pad)
+    pvs_rows16: jax.Array   # i32 [PVS_CMAX+1, W16] row-visibility bits
+    pvs_walltop: jax.Array  # f32 wall-top plane y; <= 0 disables PVS
 
 
 class HexExploreScenario(Scenario):
@@ -202,6 +358,9 @@ class HexExploreScenario(Scenario):
                      (C.PROP_ROTBOX_WALL, WALL_OBB_MAX),
                      (C.PROP_CONE, 2))
     shaping_keys = (K_EXPLORE,)
+    # layout-pure scen leaves: excluded from the per-step auto-reset select,
+    # patched by the K-slot deferred scatter instead (env.py)
+    deferred_scen_fields = ("wall_obbs", "pvs_centers", "pvs_rows16")
 
     def grid_config(self) -> GridConfig:
         return GridConfig(dims=(GRID_SIDE, 6, GRID_SIDE), voxel_size=1.0,
@@ -213,9 +372,12 @@ class HexExploreScenario(Scenario):
     def collision_obbs(self, state):
         return state.scen.wall_obbs
 
+    def render_row_mask(self, states):
+        return _hex_row_mask(self, states)
+
     def generate(self, rng: np.random.Generator) -> SceneData:
         scene = HostScene(self.cfg)
-        maze, size, wall_obbs = build_maze(scene, rng, 2, 8, 0.1, 0.4)
+        maze, size, wall_obbs, pvs = build_maze(scene, rng, 2, 8, 0.1, 0.4)
 
         cell = int(rng.integers(0, len(maze.cells)))
         cx, cz = maze.centers[cell] * MAZE_SCALE
@@ -243,11 +405,16 @@ class HexExploreScenario(Scenario):
                      for i in range(self.num_agents)]
         scene.spawn_agents_at(np.asarray(positions), rng)
 
+        cap = scene.props_type.shape[0]
+        centers, rows16, walltop = make_pvs_tables(pvs, cap)
         scen = HexExploreState(
             reward_pos=reward_pos,
             reward_prop=np.int32(top),
             solved=np.asarray(False),
             wall_obbs=pad_wall_obbs(wall_obbs),
+            pvs_centers=centers,
+            pvs_rows16=rows16,
+            pvs_walltop=walltop,
         )
         return scene.finish(self.max_boxes, scen=scen)
 
@@ -300,6 +467,9 @@ class HexMemoryState(struct.PyTreeNode):
     good_collected: jax.Array  # i32
     solved: jax.Array       # bool
     wall_obbs: jax.Array    # f32 [WALL_OBB_MAX, 7] exact collision walls
+    pvs_centers: jax.Array  # f32 [PVS_CMAX, 2] world cell centers (+1e9 pad)
+    pvs_rows16: jax.Array   # i32 [PVS_CMAX+1, W16] row-visibility bits
+    pvs_walltop: jax.Array  # f32 wall-top plane y; <= 0 disables PVS
 
 
 class HexMemoryScenario(Scenario):
@@ -315,6 +485,8 @@ class HexMemoryScenario(Scenario):
         (C.PROP_SPHERE, MEM_MAX_OBJECTS + 1),
     )
     shaping_keys = (K_MEM_GOOD, K_MEM_BAD)
+    deferred_scen_fields = ("obj_pos", "obj_good", "obj_prop", "obj_nprops",
+                            "wall_obbs", "pvs_centers", "pvs_rows16")
 
     def grid_config(self) -> GridConfig:
         return GridConfig(dims=(GRID_SIDE, 6, GRID_SIDE), voxel_size=1.0,
@@ -326,9 +498,12 @@ class HexMemoryScenario(Scenario):
     def collision_obbs(self, state):
         return state.scen.wall_obbs
 
+    def render_row_mask(self, states):
+        return _hex_row_mask(self, states)
+
     def generate(self, rng: np.random.Generator) -> SceneData:
         scene = HostScene(self.cfg)
-        maze, size, wall_obbs = build_maze(scene, rng, 2, 8, 0.1, 0.95)
+        maze, size, wall_obbs, pvs = build_maze(scene, rng, 2, 8, 0.1, 0.95)
 
         # center cell = landmark (scenario_hex_memory.cpp:40-53)
         d2 = np.sum(maze.centers ** 2, axis=1)
@@ -353,6 +528,23 @@ class HexMemoryScenario(Scenario):
         good_coords = coords[:n_good]
         bad_coords = coords[n_good:n_good + n_bad]
 
+        # Place each group in Morton order of position: the renderer's
+        # clusters are consecutive prop rows, and shuffled placement order
+        # gives 8-object clusters maze-wide AABBs that survive every tile's
+        # frustum test (measured: objects were 35% of surviving rows).
+        # Which objects are good/bad is decided above by the shuffle —
+        # only the draw order changes.
+        def _obj_morton(c):
+            mx, mz = int(c[0] + 64), int(c[2] + 64)
+            code = 0
+            for b in range(8):
+                code |= (((mx >> b) & 1) << (2 * b)
+                         | ((mz >> b) & 1) << (2 * b + 1))
+            return code
+
+        good_coords = sorted(good_coords, key=_obj_morton)
+        bad_coords = sorted(bad_coords, key=_obj_morton)
+
         # shapes/colors (scenario_hex_memory.cpp:160-170)
         shapes = [SHAPE_PILLAR, SHAPE_DIAMOND, SHAPE_SPHERE]
         good_color = int(C.OBJECT_COLORS[rng.integers(0, len(C.OBJECT_COLORS))])
@@ -373,6 +565,8 @@ class HexMemoryScenario(Scenario):
         obj_nprops = np.zeros((k,), np.int32)
         obj_scale = 0.6
         i = 0
+        obj_xz: List[np.ndarray] = []
+        obj_rows: List[List[int]] = []
         for group, is_good in ((good_coords, True), (bad_coords, False)):
             shape = good_shape if is_good else bad_shape
             color = good_color if is_good else bad_color
@@ -384,11 +578,14 @@ class HexMemoryScenario(Scenario):
                     break
                 loc = coord + _SHAPE_SHIFT[shape] * obj_scale
                 first = add_shape(scene, shape, color, loc, _SHAPE_SCALE[shape] * obj_scale)
+                nprops = {SHAPE_SPHERE: 1, SHAPE_DIAMOND: 2, SHAPE_PILLAR: 3}[shape]
                 obj_pos[i] = coord
                 obj_good[i] = is_good
                 obj_active[i] = True
                 obj_prop[i] = first
-                obj_nprops[i] = {SHAPE_SPHERE: 1, SHAPE_DIAMOND: 2, SHAPE_PILLAR: 3}[shape]
+                obj_nprops[i] = nprops
+                obj_xz.append(np.asarray([loc[0], loc[2]]))
+                obj_rows.append([first + off for off in range(nprops)])
                 i += 1
 
         # agents: deterministic ring spawn (scenario_hex_memory.cpp:127-157)
@@ -402,6 +599,10 @@ class HexMemoryScenario(Scenario):
         n_good_actual = int(obj_good.sum())
         scene.episode_len_sec = self.params[C.P_EPISODE_LENGTH_SEC] + 3.0 * n_good_actual
 
+        cap = scene.props_type.shape[0]
+        centers, rows16, walltop = make_pvs_tables(
+            pvs, cap, obj_pts_world=obj_xz, obj_radius=0.55,
+            obj_rows=obj_rows)
         scen = HexMemoryState(
             obj_pos=obj_pos, obj_good=obj_good, obj_active=obj_active,
             obj_prop=obj_prop, obj_nprops=obj_nprops,
@@ -409,6 +610,9 @@ class HexMemoryScenario(Scenario):
             good_collected=np.int32(0),
             solved=np.asarray(False),
             wall_obbs=pad_wall_obbs(wall_obbs),
+            pvs_centers=centers,
+            pvs_rows16=rows16,
+            pvs_walltop=walltop,
         )
         return scene.finish(self.max_boxes, scen=scen)
 

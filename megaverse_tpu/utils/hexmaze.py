@@ -16,7 +16,7 @@ episode rng (SURVEY 2.1 #30).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -96,6 +96,10 @@ class HoneycombMaze:
                 in_tree[k] = True
 
         self.interior_walls = [e for k, (i, j, e) in enumerate(interior) if not in_tree[k]]
+        # cell pair per remaining interior wall, aligned with interior_walls
+        # (consumed by the PVS: kept walls close their lattice edge)
+        self.interior_wall_cells = [
+            (i, j) for k, (i, j, e) in enumerate(interior) if not in_tree[k]]
 
     def bounds(self) -> Tuple[float, float, float, float]:
         """(xmin, ymin, xmax, ymax) (honeycombmaze.cpp:69-73)."""
@@ -105,13 +109,21 @@ class HoneycombMaze:
 
 
 def maze_walls(maze: HoneycombMaze, rng: np.random.Generator,
-               omit_probability: float) -> List[Tuple[float, float, float, float]]:
+               omit_probability: float, kept_out: Optional[List[int]] = None,
+               ) -> List[Tuple[float, float, float, float]]:
     """Final wall segments: all outer borders + interior walls kept with
-    probability (1 - omit_probability) (component_hexagonal_maze.cpp:60-75)."""
+    probability (1 - omit_probability) (component_hexagonal_maze.cpp:60-75).
+
+    kept_out (optional list) receives the indices into maze.interior_walls of
+    the kept interior walls, in wall order (outer walls have no index — they
+    are never portals). The rng draw order is one draw per interior wall,
+    unchanged."""
     walls = []
-    for e in maze.interior_walls:
+    for k, e in enumerate(maze.interior_walls):
         if rng.random() < omit_probability:
             continue
+        if kept_out is not None:
+            kept_out.append(k)
         walls.append(e)
     walls.extend(maze.outer_walls)
     return walls

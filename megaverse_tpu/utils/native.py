@@ -58,6 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
         f64p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, ctypes.c_int,
     ]
+    if hasattr(lib, "mvn_hex_pvs"):
+        lib.mvn_hex_pvs.restype = ctypes.c_int
+        lib.mvn_hex_pvs.argtypes = [
+            ctypes.c_int, i32p, u8p, f64p, ctypes.c_longlong, u8p,
+        ]
     _lib = lib
     return _lib
 
@@ -95,6 +100,27 @@ def perlin_octave_0_1(perm512: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     lib.mvn_perlin_octave_0_1(
         np.ascontiguousarray(perm512, np.int64), xs, ys, xs.size, octaves, out)
     return out
+
+
+def hex_pvs(neigh: np.ndarray, open_: np.ndarray, edge_pts: np.ndarray,
+            budget: int = 200_000):
+    """Cell-to-cell visibility over honeycomb cells (see mvn_hex_pvs).
+
+    neigh [C, 6] i32 (-1: outside), open_ [C, 6] u8 (portal?), edge_pts
+    [C, 6, 4] f64 portal endpoints. Returns (vis [C, C] u8, completed int)
+    or None if the native lib is unavailable. Rows >= completed are
+    all-visible (node budget exhausted — conservative)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mvn_hex_pvs"):
+        return None
+    c = neigh.shape[0]
+    vis = np.empty((c, c), np.uint8)
+    done = lib.mvn_hex_pvs(
+        c, np.ascontiguousarray(neigh, np.int32),
+        np.ascontiguousarray(open_, np.uint8),
+        np.ascontiguousarray(edge_pts, np.float64).reshape(-1),
+        budget, vis)
+    return vis, done
 
 
 def voxelize_segments(vtype: np.ndarray, segs: np.ndarray, origin_x: float,

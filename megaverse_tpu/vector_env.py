@@ -116,7 +116,8 @@ class VectorEnv:
                 # layout-copy leaves were excluded from the per-env select;
                 # see env.py).
                 return res._replace(state=apply_deferred_resets(
-                    res.state, next_scenes, res.done, max_slots=slots))
+                    res.state, next_scenes, res.done, max_slots=slots,
+                    scen_fields=scen.deferred_scen_fields))
 
             self._vstep_inner = _vstep_inner
         else:
@@ -146,6 +147,19 @@ class VectorEnv:
             jax.vmap(lambda sc, key: state_from_scene(sc, num_agents_per_env, key))
         )
 
+        # Per-step dispatch shape for the pallas backend on the Python-loop
+        # path (tunneled dev TPU): "split" issues sim and render as separate
+        # jitted dispatches (they overlap on the tunnel — render executes
+        # while the next sim's dispatch is in flight), "fused" issues one
+        # combined program per step (saves ~2 Python dispatches/step, which
+        # dominates when device work is light). Neither wins universally
+        # (measured: Sokoban fused 123k vs split 111k obs/s; TowerBuilding
+        # split 91k vs fused 60k), so step_many times one warmup chunk each
+        # way and locks in the winner. MEGAVERSE_DISPATCH=split|fused
+        # overrides.
+        self._dmode: Optional[str] = None
+        self._dmode_trials: list = []
+
         self.state: Optional[EnvState] = None
         self.next_scenes: Optional[SceneData] = None
         self._steps_since_poll = 0
@@ -159,6 +173,37 @@ class VectorEnv:
         if self.device is not None:
             return jax.device_put(x, self.device)
         return jnp.asarray(x)
+
+    # ------------------------------------------------------------- dispatch
+    def _dispatch_mode(self) -> str:
+        """Current (or next-trial) dispatch shape for the pallas loop path."""
+        import os
+
+        if self._dmode is not None:
+            return self._dmode
+        forced = os.environ.get("MEGAVERSE_DISPATCH")
+        if forced in ("split", "fused"):
+            self._dmode = forced
+            return forced
+        from megaverse_tpu.utils.platform import is_tunneled_tpu
+
+        if not is_tunneled_tpu():
+            # real TPUs take the scan path; CPU tests keep the historical
+            # split default
+            self._dmode = "split"
+            return "split"
+        n = len(self._dmode_trials)
+        return "split" if n == 0 else "fused"
+
+    def _note_dispatch_trial(self, mode: str, ms_per_step: float) -> None:
+        if self._dmode is not None:
+            return
+        self._dmode_trials.append((mode, ms_per_step))
+        if len(self._dmode_trials) >= 2:
+            # ties go to split (the historical default); the later trial runs
+            # on slightly heavier (more evolved) states, biasing against
+            # fused by a hair — acceptable.
+            self._dmode = min(self._dmode_trials, key=lambda t: t[1])[0]
 
     # ---------------------------------------------------------------- renderer
     def _pick_backend(self) -> str:
@@ -535,9 +580,10 @@ class VectorEnv:
                                      self.shaping)
             self.state = result.state
             obs = self._render_classes(result.state)
-        elif self.render_obs and self._backend == "pallas":
-            # keep the Pallas render off the sim dependency chain (high
-            # per-dispatch latency on tunneled dev TPUs)
+        elif (self.render_obs and self._backend == "pallas"
+              and self._dispatch_mode() == "split"):
+            # keep the Pallas render off the sim dependency chain: the two
+            # dispatches overlap on the tunnel (see _dispatch_mode)
             result = self._vstep_sim(self.state, self.next_scenes, actions,
                                      self.shaping)
             self.state = result.state
@@ -609,7 +655,14 @@ class VectorEnv:
         if use_scan:
             return self._step_many_scan(jnp.asarray(action_pool, jnp.int32), n_steps)
 
-        split = self._backend == "pallas" or self._use_classes
+        mode = None
+        if self._backend == "pallas" and not self._use_classes:
+            mode = self._dispatch_mode()
+        # One timed warmup chunk per dispatch mode, then lock in the winner
+        # (see _dispatch_mode). n_steps >= 8 keeps trial noise down; tiny
+        # chunks (tests) just use the trial-order mode without recording.
+        trial = mode is not None and self._dmode is None and n_steps >= 8
+        split = self._use_classes or mode == "split"
         if not split and not hasattr(self, "_chunk_fused"):
             def fused(state, next_scenes, action, shaping, pending):
                 res = self._step_render(state, next_scenes, action, shaping)
@@ -629,7 +682,15 @@ class VectorEnv:
         else:
             rows = np.asarray(jax.device_get(action_pool)).astype(np.int32)
         pool_steps = [self._put(rows[k]) for k in range(rows.shape[0])]
+        t_trial = None
         for i in range(n_steps):
+            if trial and i == 1:
+                # step 0 warmed (compiled) this mode's programs; fence it and
+                # time the remaining steps
+                import time as _time
+
+                _ = int(self._obs_sum(obs))
+                t_trial = _time.perf_counter()
             act = pool_steps[i % len(pool_steps)]
             if split:
                 # class-partitioned or pallas render hangs off the sim chain
@@ -650,7 +711,14 @@ class VectorEnv:
         self._steps_since_poll = 0  # refilled at next step_many/flush
         # One checksum per chunk; it depends on the final obs, whose chain
         # covers every step in the chunk.
-        return obs, dones, [self._obs_sum(obs)]
+        csum = self._obs_sum(obs)
+        if t_trial is not None:
+            import time as _time
+
+            _ = int(csum)  # fence the timed section
+            ms = (_time.perf_counter() - t_trial) / (n_steps - 1) * 1e3
+            self._note_dispatch_trial(mode, ms)
+        return obs, dones, [csum]
 
     def _step_many_scan(self, pool: jax.Array, n_steps: int):
         if not hasattr(self, "_scan_fns"):

@@ -86,11 +86,12 @@ def main():
 
     M = prims.shape[1]
     G = clusters.shape[1]
-    if M < G * 4:  # build_clusters pads rows to a multiple of CLUSTER_K,
-        pad = np.zeros((prims.shape[0], G * 4 - M, prims.shape[2]), prims.dtype)
+    K = RP.CLUSTER_K
+    if M < G * K:  # build_clusters pads rows to a multiple of CLUSTER_K,
+        pad = np.zeros((prims.shape[0], G * K - M, prims.shape[2]), prims.dtype)
         pad[..., 0] = -1.0
         prims = np.concatenate([prims, pad], axis=1)
-        M = G * 4
+        M = G * K
     S = sclusters.shape[1]
     live = prims[..., 0] >= 0
     print(f"{args.scenario}: table rows={M} (live mean {live.sum(1).mean():.0f} "

@@ -228,3 +228,26 @@ def test_capsule_ceiling_edge_dip():
     np.testing.assert_allclose(y, 3.0 + (r - np.sqrt(r * r - d * d)), atol=1e-6)
     y, f = block(0.5, r * np.sin(np.pi / 4) + 0.01)
     assert not f
+
+
+def test_first_free_above_matches_loop():
+    """first_free_above is bit-exact vs the sequential climb loop it
+    replaced in fall_detection_step (component_fall_detection.hpp:49-56):
+    fuzz random columns + starts incl. out-of-bounds and all-solid runs."""
+    rng = np.random.default_rng(7)
+    cfg = GridConfig(dims=(12, 40, 12), voxel_size=1.0, origin=(0.0, 0.0, 0.0))
+    vt = (rng.random(cfg.dims) < 0.45).astype(np.uint8) * C.VOXEL_SOLID
+    vt[3, :, 4] = C.VOXEL_SOLID                   # one all-solid column
+    cols = G.pack_solid_columns(cfg, jnp.asarray(vt))
+
+    n = 256
+    ii = np.stack([rng.integers(-2, 14, n), rng.integers(-2, 44, n),
+                   rng.integers(-2, 14, n)], axis=-1).astype(np.int32)
+    for max_scan in (1, 7, 16, 32):
+        voxel = jnp.asarray(ii)
+        for _ in range(max_scan):
+            occupied = G.solid_from_cols(cfg, cols, voxel)
+            voxel = jnp.where(occupied[:, None],
+                              voxel + jnp.asarray([0, 1, 0]), voxel)
+        fast = G.first_free_above(cfg, cols, jnp.asarray(ii), max_scan)
+        np.testing.assert_array_equal(np.asarray(voxel), np.asarray(fast))

@@ -80,3 +80,27 @@ def test_stacked_rnn_carry_and_reward_clip():
     c = np.asarray(ls2.carry)
     assert np.abs(c[..., :64]).max() > 0 and np.abs(c[..., 64:]).max() > 0
     assert float(np.abs(np.asarray(batch.reward)).max()) <= 30.0
+
+
+def test_host_rollout_matches_scan():
+    """train_step_host (tunnel-mode host-driven rollout; one fused dispatch
+    per step) is bit-compatible with the lax.scan rollout: same per-step
+    ops in the same order, so params/metrics/env state come out equal."""
+    scenario, state, obs, nxt = _setup(2)
+    cfg = TrainConfig(rollout=3, use_rnn=True, hidden_size=64)
+    learner = Learner(scenario, 2, cfg)
+    ls0 = learner.init(jax.random.PRNGKey(0), state, obs)
+    shaping = jnp.asarray(np.tile(scenario.shaping_array()[None], (2, 1, 1)))
+
+    ls_a, m_a = jax.jit(learner.train_step)(ls0, nxt, shaping)
+    ls_b, m_b = learner.train_step_host(ls0, nxt, shaping)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(m_a["reward_mean"]),
+                               float(m_b["reward_mean"]), rtol=1e-6, atol=0)
+    for pa, pb in zip(jax.tree.leaves(ls_a.params), jax.tree.leaves(ls_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ls_a.env_state.agents.pos),
+                                  np.asarray(ls_b.env_state.agents.pos))

@@ -399,13 +399,27 @@ def test_fused_wall_matches_two_rotbox_rows():
         cfg, agents, jnp.asarray(fused), tf))
     img_s = np.asarray(R.render_table_packed(
         cfg, agents, jnp.asarray(split), tf))
-    # both colors must actually appear (wall face + edging strip visible)
-    assert (img_f == int(wall_col)).any() or True  # shading recolors; check diff instead
+    # Both wall face and edging strip must actually be visible. Shading
+    # recolors the packed albedos, so check structure instead of raw colors:
+    # the split render draws the edging as its own row, so pixels where the
+    # split image shows the edging-row color family form a nonempty band,
+    # and the fused render must show the same distinct-color set.
+    sky = img_s[0, 0, 0]  # corner pixel: sky (camera pitched up, wall below)
+
+    def major_colors(img):
+        vals, counts = np.unique(img, return_counts=True)
+        return {int(v) for v, c in zip(vals, counts) if c >= 10 and v != sky}
+
+    cols_s = major_colors(img_s)
+    cols_f = major_colors(img_f)
+    assert len(cols_s) >= 2, "expected wall + edging shades in split render"
+    assert cols_f == cols_s, "fused render shows different color set"
     same = (img_f == img_s).mean()
     assert same > 0.999, f"fused wall diverges from two-row render: {same}"
     diff = img_f != img_s
     if diff.any():
-        # any differing pixels must be off by at most 1 per channel (ulp in t)
+        # differing pixels must be off by at most 2 per channel (one ulp of
+        # hit t can shift the shaded value across two rounding boundaries)
         a = np.stack([(img_f >> s) & 0xFF for s in (16, 8, 0)], -1).astype(int)
         b = np.stack([(img_s >> s) & 0xFF for s in (16, 8, 0)], -1).astype(int)
         assert np.abs(a - b).max() <= 2
