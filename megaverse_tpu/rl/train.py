@@ -74,6 +74,13 @@ def parse_args(argv=None):
     # team spirit annealing (megaverse_params.py:41-55)
     p.add_argument("--megaverse_increase_team_spirit", type=int, default=0)
     p.add_argument("--megaverse_max_team_spirit_steps", type=float, default=1e9)
+    p.add_argument("--set_shaping", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="override a reward-shaping weight for training "
+                        "(repeatable). Uses the runtime-mutable shaping API "
+                        "the reference exposes for PBT "
+                        "(scenario.hpp:209-215, megaverse_utils.py:80-84); "
+                        "evaluation keeps scenario defaults.")
     return p.parse_args(argv)
 
 
@@ -210,6 +217,16 @@ def main(argv=None):
     names = resolve_task_list(args.env)
     tasks = [_Task(n, args, cfg, mesh, args.seed + 1000 * i)
              for i, n in enumerate(names)]
+    for spec in args.set_shaping:
+        key, _, val = spec.partition("=")
+        for t in tasks:
+            if key in t.scenario.all_shaping_keys:
+                col = t.scenario.all_shaping_keys.index(key)
+                t.shaping = t.shaping.at[:, :, col].set(float(val))
+                print(f"[shaping] {t.name}: {key} = {float(val)}", flush=True)
+            else:
+                print(f"[shaping] {t.name} has no key {key!r}; skipped",
+                      flush=True)
     # Policy weights and optimizer state are shared across tasks.
     params, opt_state = tasks[0].ls.params, tasks[0].ls.opt_state
 

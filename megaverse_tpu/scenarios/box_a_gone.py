@@ -214,31 +214,39 @@ class BoxAGoneScenario(Scenario):
         agent_tile = jnp.where(jnp.any(on_tile, axis=0),
                                jnp.argmax(on_tile.astype(jnp.int32), axis=0), -1)  # [A]
 
-        changed = (agent_tile >= 0) & (agent_tile != sc.last_tile)
-        # previous tile's timer -> min(current, 3) (cpp:120-125)
-        prev = jnp.where(changed, sc.last_tile, -1)
-        prev_valid = prev >= 0
-        prev_idx = jnp.maximum(prev, 0)
+        # Per-agent arming runs SEQUENTIALLY in agent order, matching the
+        # reference's agent loop (scenario_box_a_gone.cpp:100-148): agent i's
+        # arming / previous-tile acceleration is visible to agent i+1 within
+        # the same tick (e.g. i arms a tile, i+1 leaving that tile clips its
+        # fresh 15-tick timer to 3). Scalar work per pass; A is tiny.
         ticks = sc.tile_ticks
-        armed_prev = ticks[prev_idx] >= 0
-        new_prev_ticks = jnp.where(
-            prev_valid & armed_prev, jnp.minimum(ticks[prev_idx], 3), ticks[prev_idx])
-        ticks = ticks.at[prev_idx].set(new_prev_ticks)
-
-        # arm the new tile with 15 ticks if not armed (cpp:127-141)
-        cur_idx = jnp.maximum(agent_tile, 0)
-        arm = changed & (ticks[cur_idx] < 0)
-        ticks = ticks.at[cur_idx].set(jnp.where(arm, 15, ticks[cur_idx]))
-        # visual: armed tile turns green and inflates 1.05x
+        last_tile = sc.last_tile
         props = state.props
-        colors = props.color.at[sc.tile_prop[cur_idx]].set(
-            jnp.where(arm, jnp.uint8(C.COLOR_IDX["GREEN"]), props.color[sc.tile_prop[cur_idx]]))
-        scales = props.scale.at[sc.tile_prop[cur_idx]].set(
-            jnp.where(arm[:, None], props.scale[sc.tile_prop[cur_idx]] * 1.05,
-                      props.scale[sc.tile_prop[cur_idx]]))
+        colors, scales = props.color, props.scale
+        for a in range(num_agents):
+            tile_a = agent_tile[a]
+            changed = (tile_a >= 0) & (tile_a != last_tile[a])
+            # previous tile's timer -> min(current, 3) (cpp:120-125)
+            prev = last_tile[a]
+            prev_valid = changed & (prev >= 0)
+            prev_idx = jnp.maximum(prev, 0)
+            armed_prev = ticks[prev_idx] >= 0
+            ticks = ticks.at[prev_idx].set(jnp.where(
+                prev_valid & armed_prev, jnp.minimum(ticks[prev_idx], 3),
+                ticks[prev_idx]))
+            # arm the new tile with 15 ticks if not armed (cpp:127-141)
+            cur_idx = jnp.maximum(tile_a, 0)
+            arm = changed & (ticks[cur_idx] < 0)
+            ticks = ticks.at[cur_idx].set(jnp.where(arm, 15, ticks[cur_idx]))
+            # visual: armed tile turns green and inflates 1.05x
+            pidx = sc.tile_prop[cur_idx]
+            colors = colors.at[pidx].set(
+                jnp.where(arm, jnp.uint8(C.COLOR_IDX["GREEN"]), colors[pidx]))
+            scales = scales.at[pidx].set(
+                jnp.where(arm, scales[pidx] * 1.05, scales[pidx]))
+            last_tile = last_tile.at[a].set(
+                jnp.where(changed, tile_a, last_tile[a]))
         props = props.replace(color=colors, scale=scales)
-
-        last_tile = jnp.where(changed, agent_tile, sc.last_tile)
 
         # tick down armed tiles (cpp:152-173)
         armed = ticks > 0

@@ -171,6 +171,24 @@ class SokobanScenario(Scenario):
 
     # ------------------------------------------------------------- step
     def scen_step(self, state: EnvState, action: jax.Array, shaping: jax.Array):
+        """Multi-agent ticks run as SEQUENTIAL per-agent passes, matching the
+        reference's per-agent push loop (scenario_sokoban.cpp:168-233): agent
+        i's push mutates the object grid agent i+1 then queries in the same
+        tick (a push can clear — or newly block — a later agent's target
+        cell). Each pass is [A]-sized scalar work, so the cost is A x tiny;
+        single-agent envs take the one-pass path directly."""
+        if self.num_agents == 1:
+            return self._soko_pass(state, action, shaping)
+        rewards = jnp.zeros((self.num_agents,), jnp.float32)
+        idx = jnp.arange(self.num_agents)
+        for a in range(self.num_agents):
+            act_a = jnp.where(idx == a, action,
+                              action & ~jnp.int32(C.ACTION_INTERACT))
+            state, r = self._soko_pass(state, act_a, shaping)
+            rewards = rewards + r
+        return state, rewards
+
+    def _soko_pass(self, state: EnvState, action: jax.Array, shaping: jax.Array):
         cfg = self.cfg.grid
         num_agents = self.num_agents
         rewards = jnp.zeros((num_agents,), jnp.float32)

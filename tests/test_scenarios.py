@@ -288,3 +288,112 @@ def test_stacking_sequential_same_tick_visibility():
     assert picked.tolist() == [True, False]
     assert int(res.state.agents.carried[0]) >= 0
     assert int(res.state.agents.carried[1]) == -1
+
+
+def test_sokoban_sequential_same_tick_visibility():
+    """Reference parity (scenario_sokoban.cpp:168-233): pushes resolve in
+    agent order within one tick. Agent 0 pushing box A out of a cell frees
+    it for agent 1's push INTO that cell the same tick (and, conversely, a
+    box pushed into a cell blocks a later agent's push toward it)."""
+    from megaverse_tpu.ops import grid as G
+
+    s, state = _single_env("Sokoban", seed=1, num_agents=2)
+    cfg = s.cfg.grid
+
+    def clean_board(state):
+        # strip the level's boxes/walls; keep floor + physics props
+        vobj = jnp.zeros_like(state.vobj)
+        sc = state.scen.replace(
+            wall=jnp.zeros_like(state.scen.wall),
+            goal=jnp.zeros_like(state.scen.goal),
+            num_boxes=jnp.int32(2), boxes_on_goal=jnp.int32(0))
+        return state.replace(vobj=vobj, scen=sc)
+
+    def place_box(state, prop_idx, cell):
+        x, y, z = cell
+        vobj = state.vobj.at[x, y, z].set(prop_idx + 1)
+        pos = state.props.pos.at[prop_idx].set(
+            jnp.asarray([(x + 0.5) * 2.0, (y + 0.2) * 2.0, (z + 0.5) * 2.0]))
+        return state.replace(vobj=vobj,
+                             props=state.props.replace(pos=pos))
+
+    def agents_at(state, cells, yaws):
+        apos = jnp.asarray([[(c[0] + 0.5) * 2.0, 2.0 + C.AGENT_HALF_HEIGHT,
+                             (c[2] + 0.5) * 2.0] for c in cells])
+        return state.replace(agents=state.agents.replace(
+            pos=apos, yaw=jnp.asarray(yaws, jnp.float32)))
+
+    shaping = jnp.asarray(s.shaping_array())
+    action = jnp.asarray([C.ACTION_INTERACT, C.ACTION_INTERACT], jnp.int32)
+
+    # Case 1: agent 0 pushes box A (5,1,5)->(5,1,6) [+z]; agent 1 pushes
+    # box B (4,1,5)->(5,1,5) [+x] into A's just-freed cell. Sequential:
+    # both pushes succeed.
+    st = clean_board(state)
+    st = place_box(st, 0, (5, 1, 5))
+    st = place_box(st, 1, (4, 1, 5))
+    st = agents_at(st, [(5, 1, 4), (3, 1, 5)], [np.pi, -np.pi / 2])
+    # sanity: facing voxels are the boxes
+    from megaverse_tpu.scenarios.components import pickup_spot
+    spot = G.world_to_voxel(cfg, pickup_spot(st.agents))
+    np.testing.assert_array_equal(np.asarray(spot),
+                                  [[5, 1, 5], [4, 1, 5]])
+    st2, _ = s.scen_step(st, action, shaping)
+    vobj2 = np.asarray(st2.vobj)
+    assert vobj2[5, 1, 6] == 1      # box A moved +z
+    assert vobj2[5, 1, 5] == 2      # box B took its cell
+    assert vobj2[4, 1, 5] == 0
+
+    # Case 2: agent 0 pushes box A (5,1,4)->(5,1,5) [+z]; agent 1's push of
+    # box B (4,1,5)->(5,1,5) is then BLOCKED by A in the same tick.
+    st = clean_board(state)
+    st = place_box(st, 0, (5, 1, 4))
+    st = place_box(st, 1, (4, 1, 5))
+    st = agents_at(st, [(5, 1, 3), (3, 1, 5)], [np.pi, -np.pi / 2])
+    st2, _ = s.scen_step(st, action, shaping)
+    vobj2 = np.asarray(st2.vobj)
+    assert vobj2[5, 1, 5] == 1      # box A moved in first
+    assert vobj2[4, 1, 5] == 2      # box B did not move
+    assert vobj2[5, 1, 6] == 0
+
+
+def test_boxagone_sequential_same_tick_arming():
+    """Reference parity (scenario_box_a_gone.cpp:100-148): the agent loop is
+    sequential, so if agent 0 arms tile T (15 ticks) and agent 1 LEAVES T in
+    the same tick, agent 1's previous-tile acceleration clips the fresh
+    timer to 3. A parallel clip-then-arm pass would leave it at 15."""
+    s, state = _single_env("BoxAGone", seed=3, num_agents=2)
+    sc = state.scen
+    tv = np.asarray(sc.tile_voxel)
+    active = np.asarray(sc.tile_active)
+    # two adjacent active tiles on the same level
+    t_T = t_U = None
+    for i in np.nonzero(active)[0]:
+        j = np.nonzero(active & (tv[:, 1] == tv[i, 1])
+                       & (np.abs(tv[:, 0] - tv[i, 0])
+                          + np.abs(tv[:, 2] - tv[i, 2]) == 1))[0]
+        if j.size:
+            t_T, t_U = int(i), int(j[0])
+            break
+    assert t_T is not None
+    VOXEL = 2.0
+    # agent 0 arrives on T this tick (last_tile -1, unarmed T); agent 1 was
+    # standing on T and arrives on U this tick
+    sc = sc.replace(last_tile=jnp.asarray([-1, t_T], jnp.int32),
+                    tile_ticks=jnp.full_like(sc.tile_ticks, -1))
+    top = lambda t: jnp.asarray([
+        (tv[t][0] + 0.5) * VOXEL, (tv[t][1] + 1) * VOXEL + C.AGENT_HALF_HEIGHT,
+        (tv[t][2] + 0.5) * VOXEL])
+    apos = jnp.stack([top(t_T), top(t_U)])
+    state = state.replace(
+        scen=sc,
+        agents=state.agents.replace(
+            pos=apos, on_ground=jnp.asarray([True, True])))
+    shaping = jnp.asarray(s.shaping_array())
+    st2, _ = s.scen_step(state, jnp.zeros((2,), jnp.int32), shaping)
+    ticks2 = np.asarray(st2.scen.tile_ticks)
+    # T was armed at 15 by agent 0, clipped to 3 by agent 1's departure,
+    # then ticked down once -> 2; U armed at 15 -> 14.
+    assert ticks2[t_T] == 2
+    assert ticks2[t_U] == 14
+    assert np.asarray(st2.scen.last_tile).tolist() == [t_T, t_U]
