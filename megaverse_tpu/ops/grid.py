@@ -302,6 +302,21 @@ def cols_aabb_hits_solid(cfg, cols, lo, hi, span_xz) -> jax.Array:
     return hit
 
 
+def cols_cell_solid(cfg, cols, ix, iz, ylo, yhi) -> jax.Array:
+    """Any SOLID bit in column (ix, iz) within world-y range [ylo, yhi].
+
+    Single-column variant of cols_aabb_hits_solid (same BOUNDARY_EPS index
+    rounding); ix/iz integer arrays [...], ylo/yhi world coords [...]."""
+    words = _gather_cols(cfg, cols, ix, iz)
+    iy0 = jnp.maximum(axis_index(cfg, 1, ylo + BOUNDARY_EPS), 0)
+    iy1 = jnp.minimum(axis_index(cfg, 1, yhi - BOUNDARY_EPS), cfg.dims[1] - 1)
+    hit = jnp.zeros(jnp.shape(ix), bool)
+    for w in range(words.shape[-1]):
+        m = _range_mask(iy0, iy1, w)
+        hit = hit | ((words[..., w] & m) != 0)
+    return hit
+
+
 def cols_highest_floor_below(cfg, cols, x0, x1, z0, z1, bottom, max_drop,
                              span_xz):
     """highest_floor_below on packed columns -> (top_y, found)."""

@@ -10,8 +10,12 @@ and a bounded-iteration sweep-and-slide reproducing the Quake2 stop rule of the
 reference's slide loop (kcc.cpp:337-393; see _slide_horizontal) — axis-aligned
 geometry converges in <= 3 masked sweeps vs the reference's <= 10.
 
-The agent capsule (r=0.33, cylinder h=1.05; agent.cpp:52-54) is treated as its
-bounding box for grid collision: half extents (0.33, 0.855, 0.33).
+The agent capsule (r=0.33, cylinder h=1.05; agent.cpp:52-54) collides
+CIRCLE-exactly in the horizontal plane (entry faces + corner-arc quadratics,
+_sweep_horizontal) and sphere-exactly against floors/ceilings (end-sphere dip
+scans in ops/grid.py); the one remaining approximation is that the full
+[bottom, top] extent blocks horizontally (no end-sphere rounding of the
+vertical profile during the horizontal phase).
 
 All functions operate on one environment (agents batched along the leading axis)
 and are vmapped over the environment batch by the vector env.
@@ -19,6 +23,7 @@ and are vmapped over the environment batch by the vector env.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -121,68 +126,128 @@ def apply_acceleration(agents: AgentState, action: jax.Array, dt: float) -> Agen
     return agents.replace(hvel=hvel, vvel=vvel, jumping=jumping)
 
 
+# Neighbor cells considered by the horizontal sweep (the center's own cell is
+# penetration-recovery territory, as in the reference's ghost overlap logic).
+_SWEEP_CELLS = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                (0, 1), (1, -1), (1, 0), (1, 1))
+
+
 def _sweep_horizontal(cfg: GridConfig, cols: jax.Array, pos: jax.Array,
                       dx: jax.Array, dz: jax.Array):
-    """First time-of-impact for the capsule AABB translating by (dx, 0, dz).
+    """CIRCLE-exact first time-of-impact for the capsule translating by
+    (dx, 0, dz).
 
     Axis-aligned specialization of the ghost-object convex sweep
-    (kcc.cpp:360-364): with |dx|,|dz| < voxel_size (true at 15 Hz: max
-    0.3 m/tick) each axis crosses at most one voxel plane, so the sweep has at
-    most two events — entering a new x column and a new z row. An event
-    collides if any voxel in the entered slab (at the slab's crossing time,
-    using the other axis's extent AT that time) is solid.
+    (kcc.cpp:360-364): in the horizontal plane the capsule is a circle of
+    radius r, so sweeping vs solid voxel cells is a point sweep vs cells
+    expanded by r with ROUNDED corners — entry faces are plane crossings and
+    corner contacts are one quadratic each (|p0 + t d - corner| = r). With
+    r + |d| < voxel_size (r=0.33, max 0.3 m/tick at 15 Hz) the swept circle
+    stays inside the 3x3 cell block around the center's cell, so the 8
+    neighbor cells are the complete candidate set. A circle already touching
+    an expanded cell reports t=0 with the closest-feature normal, exactly
+    like Bullet's blocked-at-start sweep (the slide then keeps the
+    tangential component). Hits whose normal does not oppose the motion are
+    discarded (the sweep callback's slope filter with up = -dir,
+    kcc.cpp:52-93).
 
-    Returns (t [0..1] fraction before impact, hit bool, hit_is_x bool).
+    Returns (t [0..1] fraction before impact, hit bool, nx, nz) where
+    (nx, 0, nz) is the world contact normal of the earliest hit.
 
     `cols` is the packed solid-column bitmask grid (grid.pack_solid_columns).
     """
-    he_y = HALF_Y
-    x0 = pos[..., 0] - HALF_XZ
-    x1 = pos[..., 0] + HALF_XZ
-    z0 = pos[..., 2] - HALF_XZ
-    z1 = pos[..., 2] + HALF_XZ
-    bottom = pos[..., 1] - he_y
-    top = pos[..., 1] + he_y
-    sxz = _span_xz(cfg)[0]
+    r = HALF_XZ
+    vs = cfg.voxel_size
+    assert vs > r + C.KCC_MAX_HORIZONTAL_SPEED * C.DEFAULT_DT, (
+        "3x3 sweep window requires voxel_size > r + max travel per tick")
+    px = pos[..., 0]
+    pz = pos[..., 2]
+    bottom = pos[..., 1] - HALF_Y
+    top = pos[..., 1] + HALF_Y
+    ix = G.axis_index(cfg, 0, px)
+    iz = G.axis_index(cfg, 2, pz)
 
-    def axis_event(d, f0, f1, o0, o1, axis):
-        """Crossing time + entered-slab world coord for one axis.
-        d: displacement; f0/f1: this axis's AABB bounds; o0/o1: other
-        horizontal axis bounds; axis: 0 (x) or 2 (z)."""
-        movp = d > 0
-        face = jnp.where(movp, f1, f0)
-        sgn = jnp.where(movp, 1.0, -1.0)
-        icur = G.axis_index(cfg, axis, face - sgn * G.BOUNDARY_EPS)
-        boundary = cfg.origin[axis] + (
-            icur + movp.astype(jnp.int32)).astype(jnp.float32) * cfg.voxel_size
-        dist = boundary - face                      # same sign as d when crossing
-        d_safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-        t = dist / d_safe
-        crossing = (jnp.abs(d) > 1e-9) & (t >= 0.0) & (t <= 1.0)
-        slab_coord = boundary + 2.0 * G.BOUNDARY_EPS * sgn  # inside entered cell
-        return t, crossing, slab_coord, boundary, sgn
+    dx_safe = jnp.where(jnp.abs(dx) < 1e-12, 1e-12, dx)
+    dz_safe = jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
 
-    t_x, cross_x, slab_x, _, _ = axis_event(dx, x0, x1, z0, z1, 0)
-    t_z, cross_z, slab_z, _, _ = axis_event(dz, z0, z1, x0, x1, 2)
+    t_best = jnp.full(px.shape, jnp.inf)
+    nx_best = jnp.zeros(px.shape)
+    nz_best = jnp.zeros(px.shape)
 
-    def slab_solid_x(t):
-        lo = jnp.stack([slab_x, bottom, z0 + dz * t], axis=-1)
-        hi = jnp.stack([slab_x, top, z1 + dz * t], axis=-1)
-        return G.cols_aabb_hits_solid(cfg, cols, lo, hi, (1, sxz))
+    def consider(t_best, nx_best, nz_best, t, valid, nx, nz):
+        better = valid & (t < t_best)
+        return (jnp.where(better, t, t_best),
+                jnp.where(better, nx, nx_best),
+                jnp.where(better, nz, nz_best))
 
-    def slab_solid_z(t):
-        lo = jnp.stack([x0 + dx * t, bottom, slab_z], axis=-1)
-        hi = jnp.stack([x1 + dx * t, top, slab_z], axis=-1)
-        return G.cols_aabb_hits_solid(cfg, cols, lo, hi, (sxz, 1))
+    for ox, oz in _SWEEP_CELLS:
+        cix = ix + ox
+        ciz = iz + oz
+        solid = G.cols_cell_solid(cfg, cols, cix, ciz, bottom, top)
+        cx0 = cfg.origin[0] + cix.astype(jnp.float32) * vs
+        cx1 = cx0 + vs
+        cz0 = cfg.origin[2] + ciz.astype(jnp.float32) * vs
+        cz1 = cz0 + vs
 
-    hit_x = cross_x & slab_solid_x(t_x)
-    hit_z = cross_z & slab_solid_z(t_z)
-    tx = jnp.where(hit_x, t_x, jnp.inf)
-    tz = jnp.where(hit_z, t_z, jnp.inf)
-    hit = hit_x | hit_z
-    x_first = tx <= tz
-    t = jnp.where(hit, jnp.minimum(tx, tz), 1.0)
-    return t, hit, x_first
+        # blocked-at-start: circle already touches the expanded cell
+        ex = px - jnp.clip(px, cx0, cx1)
+        ez = pz - jnp.clip(pz, cz0, cz1)
+        d2 = ex * ex + ez * ez
+        dlen = jnp.sqrt(jnp.maximum(d2, 1e-24))
+        degen = d2 < 1e-12
+        # degenerate exact-boundary touch: push straight back toward center
+        onorm = 1.0 / math.sqrt(ox * ox + oz * oz)
+        tnx = jnp.where(degen, -ox * onorm, ex / dlen)
+        tnz = jnp.where(degen, -oz * onorm, ez / dlen)
+        touch = solid & (d2 <= r * r) & (tnx * dx + tnz * dz <= 0.0)
+        t_best, nx_best, nz_best = consider(
+            t_best, nx_best, nz_best, jnp.zeros_like(px), touch, tnx, tnz)
+
+        # entry-face crossings (plane at face -/+ r; contact point must lie
+        # on the flat section of the expanded cell)
+        face_x = jnp.where(dx > 0, cx0 - r, cx1 + r)
+        t_fx = (face_x - px) / dx_safe
+        z_at = pz + t_fx * dz
+        v_fx = (solid & (jnp.abs(dx) > 1e-9) & (t_fx >= 0.0) & (t_fx <= 1.0)
+                & (z_at >= cz0) & (z_at <= cz1))
+        n_fx = jnp.where(dx > 0, -1.0, 1.0)
+        t_best, nx_best, nz_best = consider(
+            t_best, nx_best, nz_best, t_fx, v_fx, n_fx, jnp.zeros_like(px))
+
+        face_z = jnp.where(dz > 0, cz0 - r, cz1 + r)
+        t_fz = (face_z - pz) / dz_safe
+        x_at = px + t_fz * dx
+        v_fz = (solid & (jnp.abs(dz) > 1e-9) & (t_fz >= 0.0) & (t_fz <= 1.0)
+                & (x_at >= cx0) & (x_at <= cx1))
+        n_fz = jnp.where(dz > 0, -1.0, 1.0)
+        t_best, nx_best, nz_best = consider(
+            t_best, nx_best, nz_best, t_fz, v_fz, jnp.zeros_like(px), n_fz)
+
+        # corner arcs: |p0 + t d - corner| = r, entry root; valid only in the
+        # corner's Voronoi region (point outside the cell on both axes)
+        a = dx * dx + dz * dz
+        a_safe = jnp.maximum(a, 1e-12)
+        for cx, x_is_lo in ((cx0, True), (cx1, False)):
+            for cz, z_is_lo in ((cz0, True), (cz1, False)):
+                rx = px - cx
+                rz = pz - cz
+                b = 2.0 * (rx * dx + rz * dz)
+                c0 = rx * rx + rz * rz - r * r
+                disc = b * b - 4.0 * a_safe * c0
+                t_c = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_safe)
+                xo = px + t_c * dx
+                zo = pz + t_c * dz
+                out_x = (xo <= cx0) if x_is_lo else (xo >= cx1)
+                out_z = (zo <= cz0) if z_is_lo else (zo >= cz1)
+                v_c = (solid & (a > 1e-12) & (disc >= 0.0) & (b < 0.0)
+                       & (t_c >= 0.0) & (t_c <= 1.0) & out_x & out_z)
+                t_best, nx_best, nz_best = consider(
+                    t_best, nx_best, nz_best, t_c, v_c,
+                    (rx + t_c * dx) / r, (rz + t_c * dz) / r)
+
+    hit = jnp.isfinite(t_best)
+    t = jnp.where(hit, t_best, 1.0)
+    return t, hit, nx_best, nz_best
 
 
 def _slide_horizontal(cfg: GridConfig, cols: jax.Array, pos: jax.Array,
@@ -190,28 +255,31 @@ def _slide_horizontal(cfg: GridConfig, cols: jax.Array, pos: jax.Array,
     """stepForwardAndStrafe (kcc.cpp:337-393): bounded-iteration sweep-and-
     slide with the Quake2 stop rule.
 
-    Mirrors the reference loop structure exactly for axis-aligned normals:
-    each iteration sweeps the CURRENT displacement from the ORIGINAL
-    position; on impact with an axis normal, the parallel component is
-    truncated at the hit fraction (updateTargetPositionBasedOnCollision,
+    Mirrors the reference loop structure: each iteration sweeps the CURRENT
+    displacement from the ORIGINAL position; on impact the parallel component
+    is truncated at the hit fraction (updateTargetPositionBasedOnCollision,
     kcc.cpp:313-329: target = current + perp*L + parallel*L*f) and the
     perpendicular component kept in full; movement is cancelled outright when
     the re-targeted displacement is ~zero (<= 1 cm, distance2 <= 0.0001) or
-    opposes the original velocity. Axis-aligned geometry converges in <= 3
-    sweeps (x wall, z wall, then clear), so 3 masked iterations replace the
-    reference's <= 10.
+    opposes the original velocity. Axis-aligned faces converge in <= 3
+    sweeps (x wall, z wall, then clear); one extra masked iteration absorbs
+    corner-arc re-contacts, so 4 replace the reference's <= 10.
     """
     odx, odz = dx, dz
     active = (jnp.abs(dx) + jnp.abs(dz)) > 0.0
-    for _ in range(3):
-        t, hit, x_first = _sweep_horizontal(cfg, cols, pos, dx, dz)
+    for _ in range(4):
+        t, hit, nx, nz = _sweep_horizontal(cfg, cols, pos, dx, dz)
         hit = hit & active
-        # Truncate the hit axis at the impact fraction, backed off by the
-        # clamp margin (the ghost sweep's allowedCcdPenetration analogue).
-        clip = lambda d: jnp.sign(d) * jnp.maximum(
-            jnp.abs(d) * t - CLAMP_MARGIN, 0.0)
-        ndx = jnp.where(hit & x_first, clip(dx), dx)
-        ndz = jnp.where(hit & ~x_first, clip(dz), dz)
+        # updateTargetPositionBasedOnCollision (kcc.cpp:313-329): the
+        # component of the displacement ALONG the contact normal is truncated
+        # at the impact fraction (backed off by the clamp margin — the ghost
+        # sweep's allowedCcdPenetration analogue); the perpendicular
+        # component is kept in full. For axis normals this reduces to the
+        # per-axis clip; corner-arc hits get the exact diagonal normal.
+        ndot = nx * dx + nz * dz                 # <= 0 for blocking hits
+        par_new = jnp.minimum(ndot * t + CLAMP_MARGIN, 0.0)
+        ndx = jnp.where(hit, dx - nx * (ndot - par_new), dx)
+        ndz = jnp.where(hit, dz - nz * (ndot - par_new), dz)
         l2 = ndx * ndx + ndz * ndz
         cancel = hit & ((l2 <= 1e-4) | (ndx * odx + ndz * odz <= 0.0))
         dx = jnp.where(cancel, 0.0, ndx)

@@ -5,9 +5,29 @@ dynamic ball (Bullet sphere, r=2 scaled 0.5 -> world radius 1, mass 1); agents
 kick it with Interact within 1.8 m, applying a 70 N force with an upward bias
 (step, cpp:143-164).
 
-The ball here is a ballistic sphere integrated analytically (gravity, floor
-bounce with restitution, rolling friction) against the voxel grid — a
-simplified stand-in for the reference's full Bullet rigid-body dynamics.
+The ball is an IMPULSE-BASED rigid body (linear + angular velocity) against
+the static voxel world, mirroring Bullet's sequential-impulse contact model
+and the reference's exact constants (DynamicRigidBody ctor, cpp:27-100 +
+Bullet defaults the reference never overrides):
+ - world gravity (0, -10, 0): the env never calls setGravity, so Bullet's
+   btDiscreteDynamicsWorld default applies (NOT the KCC's 1.4*9.8, which is
+   private to the character controller);
+ - restitution 0 (m_restitution never set -> Bullet default): the ball does
+   not bounce, it lands and rolls;
+ - combined sliding friction 0.25 (ball 0.5 x static-world default 0.5,
+   btManifoldResult::calculateCombinedFriction);
+ - combined rolling/spinning friction 0.05 (0.1 * 0.5 + 0 * 0.5,
+   calculateCombinedRollingFriction);
+ - inertia 1.6: calculateLocalInertia runs on the UNSCALED btSphereShape(2)
+   (0.4 * m * r^2 with r=2) before the 0.5 local scaling is applied — a
+   Bullet quirk the reference inherits, so the ball spins up as if r=2 while
+   contacting at r=1.
+
+Per contact (floor / ceiling / 4 axis walls, detected by voxel probes):
+normal impulse kills the approach velocity (e=0) with positional projection,
+a tangential friction impulse (clamped at mu * normal impulse, coupling
+v and omega through the contact arm) drives the slide -> roll transition,
+and rolling friction decays omega under the same impulse budget.
 """
 
 from __future__ import annotations
@@ -25,16 +45,19 @@ from megaverse_tpu.scenarios import register_scenario
 from megaverse_tpu.scenarios.base import HostScene, Scenario
 from megaverse_tpu.types import EnvState, GridConfig, SceneData
 
-BALL_RADIUS = 1.0  # btSphereShape(2.0) scaled 0.5
-GRAVITY = 9.8
-RESTITUTION = 0.6
-ROLL_FRICTION = 0.8  # 1/s exponential decay when rolling
+BALL_RADIUS = 1.0    # btSphereShape(2.0) scaled 0.5
+BALL_MASS = 1.0
+BALL_INERTIA = 1.6   # 0.4 * m * 2^2: computed on the UNSCALED shape (Bullet quirk)
+GRAVITY = 10.0       # btDiscreteDynamicsWorld default (never overridden)
+MU = 0.25            # combined sliding friction 0.5 * 0.5
+MU_ROLL = 0.05       # combined rolling friction 0.1 * 0.5 + 0 * 0.5
 
 
 class FootballState(struct.PyTreeNode):
-    ball_pos: jax.Array   # f32 [3]
-    ball_vel: jax.Array   # f32 [3]
-    ball_prop: jax.Array  # i32
+    ball_pos: jax.Array    # f32 [3]
+    ball_vel: jax.Array    # f32 [3]
+    ball_omega: jax.Array  # f32 [3] angular velocity (rad/s)
+    ball_prop: jax.Array   # i32
 
 
 class FootballScenario(Scenario):
@@ -112,6 +135,7 @@ class FootballScenario(Scenario):
         scen = FootballState(
             ball_pos=ball_pos,
             ball_vel=np.zeros(3, np.float32),
+            ball_omega=np.zeros(3, np.float32),
             ball_prop=np.int32(prop),
         )
         return scene.finish(self.max_boxes, scen=scen)
@@ -152,30 +176,67 @@ class FootballScenario(Scenario):
                           C.KCC_MAX_HORIZONTAL_SPEED)
         vel = vel.at[0].add(push_v[0]).at[2].add(push_v[1])
 
-        # ballistic integration + voxel collisions
+        # --- impulse-based rigid-body integration vs the static voxel world
+        # (see module docstring for the Bullet constants being mirrored) ---
+        omega = sc.ball_omega
         vel = vel - jnp.asarray([0.0, GRAVITY * dt, 0.0])
         pos = pos0 + vel * dt
 
-        # floor/wall response: probe the voxel below and around the ball
-        below = G.world_to_voxel(cfg, pos - jnp.asarray([0.0, BALL_RADIUS + 1e-3, 0.0]))
-        floor_hit = G.solid_from_cols(cfg, state.cols, below[None, :])[0] & (vel[1] < 0)
-        floor_top = (below[1] + 1).astype(jnp.float32) * cfg.voxel_size + cfg.origin[1]
-        pos = pos.at[1].set(jnp.where(floor_hit, floor_top + BALL_RADIUS, pos[1]))
-        bounce_v = -vel[1] * RESTITUTION
-        vel = vel.at[1].set(jnp.where(floor_hit, jnp.where(jnp.abs(bounce_v) < 0.5, 0.0, bounce_v), vel[1]))
-        rolling = floor_hit & (jnp.abs(vel[1]) < 1e-3)
-        decay = jnp.exp(-ROLL_FRICTION * dt)
-        vel = jnp.where(rolling, vel * jnp.asarray([decay, 1.0, decay]), vel)
-
-        for axis in (0, 2):
-            side = jnp.zeros(3).at[axis].set(jnp.sign(vel[axis]) * (BALL_RADIUS + 1e-3))
-            probe = G.world_to_voxel(cfg, pos + side)
+        def contact(pos, vel, omega, n):
+            """Resolve one axis-aligned contact with normal n (unit, toward
+            the ball). Sequential impulse: normal (e=0) + positional
+            projection, then friction (couples v and omega through the
+            contact arm), then rolling friction under the same budget."""
+            axis = int(np.argmax(np.abs(n)))
+            sign = float(n[axis])
+            n = jnp.asarray(n, jnp.float32)
+            # probe the voxel just past the contact point
+            probe = G.world_to_voxel(cfg, pos - n * (BALL_RADIUS + 1e-3))
             hit = G.solid_from_cols(cfg, state.cols, probe[None, :])[0]
-            vel = vel.at[axis].set(jnp.where(hit, -vel[axis] * RESTITUTION, vel[axis]))
-            pos = pos.at[axis].set(jnp.where(hit, sc.ball_pos[axis], pos[axis]))
+            plane = (probe[axis] + (sign > 0)).astype(jnp.float32) \
+                * cfg.voxel_size + cfg.origin[axis]
+            # pen > 0 means overlap along n (s>0: plane+R-pos; s<0: pos-plane+R)
+            pen = sign * (plane - pos[axis]) + BALL_RADIUS
+            hit = hit & (pen > -1e-3)
+
+            v_n = jnp.dot(vel, n)
+            j_n = jnp.where(hit, jnp.maximum(-v_n, 0.0) * BALL_MASS, 0.0)
+            # resting-contact budget: the normal impulse that cancels this
+            # tick's gravity (Bullet's solver produces it every step)
+            j_rest = BALL_MASS * GRAVITY * dt * jnp.abs(n[1])
+            j_budget = j_n + jnp.where(hit, j_rest, 0.0)
+            vel = vel + n * (j_n / BALL_MASS)
+            # positional projection out of penetration
+            pos = pos + n * jnp.where(hit, jnp.maximum(pen, 0.0), 0.0)
+
+            # friction at the contact point: r_c = -n * R (center -> contact)
+            r_c = -n * BALL_RADIUS
+            v_cp = vel + jnp.cross(omega, r_c)
+            v_t = v_cp - n * jnp.dot(v_cp, n)
+            sp = jnp.linalg.norm(v_t)
+            t_hat = v_t / jnp.maximum(sp, 1e-9)
+            # effective mass along the tangent (sphere: arm perp to tangent)
+            k = 1.0 / BALL_MASS + BALL_RADIUS * BALL_RADIUS / BALL_INERTIA
+            j_t = jnp.minimum(sp / k, MU * j_budget)
+            j_t = jnp.where(hit & (sp > 1e-6), j_t, 0.0)
+            vel = vel - t_hat * (j_t / BALL_MASS)
+            omega = omega - jnp.cross(r_c, t_hat * j_t) / BALL_INERTIA
+
+            # rolling friction: torque impulse <= mu_roll * j_n against omega
+            w = jnp.linalg.norm(omega)
+            dw = jnp.where(hit, jnp.minimum(w, MU_ROLL * j_budget
+                                            * BALL_RADIUS / BALL_INERTIA), 0.0)
+            omega = omega - omega / jnp.maximum(w, 1e-9) * dw
+            return pos, vel, omega
+
+        # floor first (the dominant contact), then the four walls, then the
+        # (rare) ceiling — the unrolled sequential-impulse pass
+        for n in ((0, 1, 0), (1, 0, 0), (-1, 0, 0),
+                  (0, 0, 1), (0, 0, -1), (0, -1, 0)):
+            pos, vel, omega = contact(pos, vel, omega, n)
 
         props = state.props.replace(pos=state.props.pos.at[sc.ball_prop].set(pos))
-        sc = sc.replace(ball_pos=pos, ball_vel=vel)
+        sc = sc.replace(ball_pos=pos, ball_vel=vel, ball_omega=omega)
         state = state.replace(props=props, scen=sc,
                               true_objective=jnp.zeros((num_agents,), jnp.float32))
         return state, jnp.zeros((num_agents,), jnp.float32)

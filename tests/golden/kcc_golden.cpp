@@ -422,5 +422,21 @@ int main() {
         for (int i = 0; i < 55; ++i) a.push_back(Forward);
         runScene("ledge_fall", w, V3(0.5f, H, 0.5f), 0.0f, a);
     }
+    // 8. worst-angle corner contacts vs a 1-voxel pillar, approached along
+    //    the corner diagonal (the angle where a bounding-square footprint
+    //    would stop r*(sqrt(2)-1) = 0.137 m early). Head-on: dead stop at
+    //    the capsule circle's exact corner distance. Graze (path offset
+    //    0.25 m perpendicular, < r): the circle contacts the corner ARC and
+    //    deflects around it, continuing past the pillar.
+    {
+        std::vector<Box> w = {{V3(-20, -1, -20), V3(20, 0, 20)},
+                              {V3(3, 0, -3), V3(4, 3, -2)}};
+        std::vector<int> a;
+        for (int i = 0; i < 50; ++i) a.push_back(Forward);
+        runScene("corner_head_on", w,
+                 V3(0.87867966f, H, 0.12132034f), -0.78539816f, a);
+        runScene("corner_graze", w,
+                 V3(1.05545636f, H, 0.29809704f), -0.78539816f, a);
+    }
     return 0;
 }

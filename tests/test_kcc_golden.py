@@ -66,6 +66,8 @@ WORLDS = {
     "jump_land": [FLOOR],
     "ceiling_bump": [FLOOR, (-20, 2, -20, 20, 3, 20)],
     "ledge_fall": [(-20, -1, -5, 20, 0, 20), (-20, -4, -20, 20, -3, -5)],
+    "corner_head_on": [FLOOR, (3, 0, -3, 4, 3, -2)],
+    "corner_graze": [FLOOR, (3, 0, -3, 4, 3, -2)],
 }
 
 ACTIONS = {
@@ -78,6 +80,8 @@ ACTIONS = {
     "ceiling_bump": [0] * 3 + [C.ACTION_JUMP] + [0] * 26,
 }
 ACTIONS["ledge_fall"] = [C.ACTION_FORWARD] * 55
+ACTIONS["corner_head_on"] = [C.ACTION_FORWARD] * 50
+ACTIONS["corner_graze"] = [C.ACTION_FORWARD] * 50
 
 # Per-scene tolerance on position (meters). Face-contact scenes are tight
 # (float drift + the 1e-3 sweep margin); the corner scene allows the
@@ -85,13 +89,19 @@ ACTIONS["ledge_fall"] = [C.ACTION_FORWARD] * 55
 POS_TOL = {
     "flat_walk": 2e-4,
     "wall_glance": 6e-3,
-    "corner_stop": 2.5e-2,
+    "corner_stop": 6e-3,
     "voxel_step_blocked": 6e-3,
     "jump_land": 2e-3,
     "ceiling_bump": 6e-3,
     # the capsule floor model (cols_capsule_floor_below) reproduces the
     # bottom sphere's edge dip and the 45-degree slip-off timing exactly
     "ledge_fall": 1e-4,
+    # worst-angle corner scenes: the circle-exact sweep (entry faces +
+    # corner-arc quadratics) holds these to the sweep-margin level where a
+    # bounding-square footprint would diverge by r*(sqrt(2)-1) = 0.137 m
+    # (measured maxima 0.00071 / 0.00100)
+    "corner_head_on": 2e-3,
+    "corner_graze": 2e-3,
 }
 
 

@@ -159,13 +159,21 @@ def test_diagonal_glance_conserves_tangential_motion():
     a = agent_at(x=6.0, z=8.0, yaw=-np.pi / 4)
     z_positions = [float(a.pos[0, 2])]
     act = jnp.array([C.ACTION_FORWARD], jnp.int32)
+    pinned_x = []
     for _ in range(60):
         a = P.player_step(
             CFG, v, P.apply_acceleration(P.apply_look(a, act, DT, 0.2), act, DT), DT)
         z_positions.append(float(a.pos[0, 2]))
-    # pinned against the wall in x...
-    assert float(a.pos[0, 0]) <= 8.0 - C.AGENT_CAPSULE_RADIUS + 1e-3
-    assert float(a.pos[0, 0]) > 7.4
+        # The wall ends at the grid edge (z=-4): once the capsule's CIRCLE
+        # clears the wall-end corner (center-to-corner distance > r) the
+        # circle-exact sweep correctly lets it round the corner diagonally,
+        # so the pin assertion only applies while the wall is actually there.
+        if float(a.pos[0, 2]) > -3.5:
+            pinned_x.append(float(a.pos[0, 0]))
+    assert len(pinned_x) >= 40
+    # pinned against the wall in x while alongside it...
+    assert max(pinned_x) <= 8.0 - C.AGENT_CAPSULE_RADIUS + 1e-3
+    assert max(pinned_x) > 7.4
     # ...but still travelled in -z, and kept moving during the last steps
     assert float(a.pos[0, 2]) < 4.0
     assert z_positions[-1] < z_positions[-5] - 0.1

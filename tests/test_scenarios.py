@@ -397,3 +397,39 @@ def test_boxagone_sequential_same_tick_arming():
     assert ticks2[t_T] == 2
     assert ticks2[t_U] == 14
     assert np.asarray(st2.scen.last_tile).tolist() == [t_T, t_U]
+
+
+def test_football_rigid_body_roll_and_no_bounce():
+    """The ball is an impulse-based rigid body with the reference's Bullet
+    constants: restitution 0 (never set, Bullet default) -> a dropped ball
+    settles without rebounding; sliding friction at the contact point spins
+    it up (slide -> roll transition) and slows the slide."""
+    s, state = _single_env("Football", seed=6)
+    shaping = jnp.asarray(s.shaping_array())
+    act = jnp.zeros((1,), jnp.int32)
+    far = state.agents.replace(pos=jnp.asarray([[2.0, 0.855, 2.0]]))
+
+    # drop from y=4 onto the floor (top at y=1, rest center = 1 + R = 2)
+    sc = state.scen.replace(ball_pos=jnp.asarray([8.0, 4.0, 8.0]),
+                            ball_vel=jnp.zeros(3), ball_omega=jnp.zeros(3))
+    st = state.replace(scen=sc, agents=far)
+    ys = []
+    for _ in range(40):
+        st, _ = s.scen_step(st, act, shaping)
+        ys.append(float(st.scen.ball_pos[1]))
+    assert abs(ys[-1] - 2.0) < 0.06, ys[-1]
+    assert max(ys[15:]) < 2.1, "restitution-0 ball must not bounce"
+
+    # slide -> roll: horizontal velocity, no spin
+    sc = st.scen.replace(ball_pos=jnp.asarray([8.0, 2.0, 8.0]),
+                         ball_vel=jnp.asarray([6.0, 0.0, 0.0]),
+                         ball_omega=jnp.zeros(3))
+    st = st.replace(scen=sc)
+    for _ in range(10):
+        st, _ = s.scen_step(st, act, shaping)
+    v = np.asarray(st.scen.ball_vel)
+    w = np.asarray(st.scen.ball_omega)
+    assert 0.0 < v[0] < 6.0, v          # friction slows the slide
+    assert w[2] < -0.1, w               # contact torque spins it forward
+    # approaching the rolling constraint v_x ~ -omega_z * R
+    assert abs(v[0] + w[2] * 1.0) < 0.6 * v[0] + 0.3, (v[0], w[2])
