@@ -804,9 +804,19 @@ class VectorEnv:
         # refill recompiled (measured: 13.9 s stalls vs the ~140 ms steady
         # state). Padding happens HOST-side (so the upload shape is fixed
         # too); sentinel coords == num_envs are dropped by the scatter.
+        # 1.5x rungs (64/96/128/192/...) instead of pure doubling: short-
+        # episode scenarios sit just past a power of two (ObstaclesEasy:
+        # ~65 resets per 64-step chunk at 1024 envs), and the padded rows are
+        # real upload bytes — 65 -> 96 ships ~25% less than 65 -> 128
+        # (~89 -> 67 MB/chunk at its ~698 KB/env layout pytree; see
+        # docs/obstacles_easy_vs_hard.md).
         n = idx.size
         slots = 64
-        while slots < n:
+        for rung in (64, 96, 128, 192, 256, 384, 512, 768, 1024):
+            slots = rung
+            if rung >= n:
+                break
+        while slots < n:  # num_envs can exceed the ladder tail
             slots *= 2
         slots = min(slots, self.num_envs)
         new_scenes = self._generate_batch(idx.tolist(), pad_to=slots)
