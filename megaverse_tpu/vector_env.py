@@ -40,6 +40,22 @@ from megaverse_tpu.types import (
 DONE_POLL_INTERVAL = 16
 
 
+def refill_slot_rung(n: int, num_envs: int) -> int:
+    """Padded slot count for a refill of `n` envs: 1.5x rungs
+    (64/96/128/192/...) instead of pure doubling — short-episode scenarios
+    sit just past a power of two (ObstaclesEasy: ~65 resets per 64-step
+    chunk at 1024 envs) and the padded rows are real upload bytes
+    (docs/obstacles_easy_vs_hard.md)."""
+    slots = 64
+    for rung in (64, 96, 128, 192, 256, 384, 512, 768, 1024):
+        slots = rung
+        if rung >= n:
+            break
+    while slots < n:  # num_envs can exceed the ladder tail
+        slots *= 2
+    return min(slots, num_envs)
+
+
 class VectorEnv:
     """Batched auto-resetting environment."""
 
@@ -811,14 +827,7 @@ class VectorEnv:
         # (~89 -> 67 MB/chunk at its ~698 KB/env layout pytree; see
         # docs/obstacles_easy_vs_hard.md).
         n = idx.size
-        slots = 64
-        for rung in (64, 96, 128, 192, 256, 384, 512, 768, 1024):
-            slots = rung
-            if rung >= n:
-                break
-        while slots < n:  # num_envs can exceed the ladder tail
-            slots *= 2
-        slots = min(slots, self.num_envs)
+        slots = refill_slot_rung(n, self.num_envs)
         new_scenes = self._generate_batch(idx.tolist(), pad_to=slots)
         idx_dev = jnp.asarray(np.concatenate(
             [idx.astype(np.int32),

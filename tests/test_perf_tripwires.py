@@ -89,3 +89,20 @@ def test_cull_bits_actually_cull():
         f"frustum culling degraded: mean {survivors.mean():.1f} of {ns} "
         "superclusters survive per tile")
     env.close()
+
+
+def test_refill_slot_rung_ladder():
+    """1.5x refill ladder: just-past-a-power-of-two counts (ObstaclesEasy's
+    ~65 resets/chunk) must land on a 1.5x rung, not double."""
+    from megaverse_tpu.vector_env import refill_slot_rung
+
+    assert refill_slot_rung(1, 1024) == 64
+    assert refill_slot_rung(64, 1024) == 64
+    assert refill_slot_rung(65, 1024) == 96
+    assert refill_slot_rung(97, 1024) == 128
+    assert refill_slot_rung(200, 1024) == 256
+    assert refill_slot_rung(1000, 1024) == 1024
+    # ladder never pads past the batch
+    assert refill_slot_rung(65, 80) == 80
+    # beyond the ladder tail it doubles, still capped by num_envs
+    assert refill_slot_rung(1500, 4096) == 2048
