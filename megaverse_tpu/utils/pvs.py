@@ -137,7 +137,8 @@ def _py_pvs(neigh, open_, edge_pts, budget) -> np.ndarray:
                 break
 
     # forward half-plane cover sets per directed open edge
-    ctr = np.stack([edge_pts[:, :, 0:2].reshape(c, -1).mean(1),
+    # columns of edge_pts are (x0, y0, x1, y1): x coords at 0::2, y at 1::2
+    ctr = np.stack([edge_pts[:, :, 0::2].reshape(c, -1).mean(1),
                     edge_pts[:, :, 1::2].reshape(c, -1).mean(1)], axis=1)
     beyond = np.zeros((c, 6, c), bool)
     for i in range(c):

@@ -158,9 +158,11 @@ class VectorEnv:
         # pipeline), while render dispatches depend only on their state
         # snapshot and are mutually independent — they overlap even when a
         # Pallas call has high per-execution latency (tunneled dev TPUs).
-        self._vstep_sim = jax.jit(self._vstep_inner)
+        self._vstep_sim = jax.jit(self._vstep_inner,
+                                  out_shardings=self._out_shard())
         self._vinit = jax.jit(
-            jax.vmap(lambda sc, key: state_from_scene(sc, num_agents_per_env, key))
+            jax.vmap(lambda sc, key: state_from_scene(sc, num_agents_per_env, key)),
+            out_shardings=self._out_shard(),
         )
 
         # Per-step dispatch shape for the pallas backend on the Python-loop
@@ -189,6 +191,18 @@ class VectorEnv:
         if self.device is not None:
             return jax.device_put(x, self.device)
         return jnp.asarray(x)
+
+    def _out_shard(self):
+        """Explicit out_shardings for jitted step/render programs when the env
+        batch is sharded. Without this, GSPMD picks output layouts from
+        propagation alone, which was observed to collapse every [B, ...]
+        output onto one device run-to-run (MULTICHIP_r04 flake) when some
+        inputs (PRNG keys, freshly-generated layouts) were uncommitted.
+        Pinning the leading env axis makes placement deterministic: every
+        output leaf is [B, ...] over the batch."""
+        from jax.sharding import Sharding
+
+        return self.device if isinstance(self.device, Sharding) else None
 
     # ------------------------------------------------------------- dispatch
     def _dispatch_mode(self) -> str:
@@ -245,8 +259,8 @@ class VectorEnv:
             return res._replace(obs=obs)
 
         self._step_render = _step_render
-        self._vstep = jax.jit(_step_render)
-        self._vrender = jax.jit(_render)
+        self._vstep = jax.jit(_step_render, out_shardings=self._out_shard())
+        self._vrender = jax.jit(_render, out_shardings=self._out_shard())
         self._vrender_sum = jax.jit(
             lambda s: (lambda o: (o, jnp.sum(o, dtype=jnp.int32)))(_render(s)))
         for attr in ("_chunk_fused", "_scan_fns"):
@@ -569,7 +583,8 @@ class VectorEnv:
             self._cls_rows_buf = self._last_gen_rows
             self._rebuild_class_groups()
         keys = jax.random.split(jax.random.PRNGKey(self._master_seed), self.num_envs)
-        self.state = self._vinit(jax.device_put(first, self.device), keys)
+        self.state = self._vinit(jax.device_put(first, self.device),
+                                 self._put(keys))
         self._steps_since_poll = 0
         self._pending_dones = None
         self._update_bucket()
@@ -837,7 +852,8 @@ class VectorEnv:
         if slots not in self._scatter_fns:
             self._scatter_fns[slots] = jax.jit(
                 lambda buf, new, ii: jax.tree.map(
-                    lambda b, nn: b.at[ii].set(nn, mode="drop"), buf, new))
+                    lambda b, nn: b.at[ii].set(nn, mode="drop"), buf, new),
+                out_shardings=self._out_shard())
         self.next_scenes = self._scatter_fns[slots](
             self.next_scenes, new_scenes, idx_dev)
         if self._use_classes:
