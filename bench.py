@@ -95,13 +95,19 @@ def bench_scenario(scenario_name: str, num_envs: int, num_agents: int,
     # through the dev-TPU tunnel take minutes, so warm thoroughly). The
     # second flush exercises a refill with a one-chunk done count, which
     # compiles the slot-padded scatter program the timed chunks will use.
+    # Keep warming until the dispatch-mode trials lock in (3 median-timed
+    # chunks per mode on the tunneled-TPU loop path) so no trial chunk —
+    # possibly running the slower mode — lands inside the timed section.
     for _ in range(2):
         _, dones, csums = env.step_many(pool, chunk)
         jax.block_until_ready(csums[-1])
     env.flush()
-    _, dones, csums = env.step_many(pool, chunk)
-    jax.block_until_ready(csums[-1])
-    env.flush()
+    for _ in range(8):
+        _, dones, csums = env.step_many(pool, chunk)
+        jax.block_until_ready(csums[-1])
+        env.flush()
+        if env.dispatch_trials_done():
+            break
 
     # Timing fence: fetch the checksum VALUE, not just block_until_ready —
     # on the tunneled axon platform, readiness of results whose graph

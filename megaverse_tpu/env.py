@@ -434,6 +434,7 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
         )(states, remaining)
         prims = make_prims(states)
         clusters = order = dist = sclusters = scbits = clbits = None
+        scdist = cdist = None
         mode = os.environ.get("MEGAVERSE_RENDER_MODE", "bits")
         if mode == "bits" and not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
             # Default: bit-walk traversal. The prologue is pure elementwise
@@ -468,7 +469,7 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
                             [rb, jnp.ones((bsz, na, pad), bool)], axis=2)
                     cluster_mask = rb.reshape(
                         bsz, na, -1, RP.CLUSTER_K).any(axis=3)
-            scbits, clbits = RP.cull_bits(
+            scbits, clbits, scdist, cdist = RP.cull_bits(
                 cams, clusters, cfg.obs_height, cfg.obs_width,
                 cluster_mask=cluster_mask)
         elif not os.environ.get("MEGAVERSE_NO_CLUSTER_CULL"):
@@ -501,6 +502,7 @@ def render_batch(scenario: Scenario, states, backend: str | None = None,
                                   clusters=clusters, order=order, dist=dist,
                                   ui_indicators=ui_ind, sclusters=sclusters,
                                   scbits=scbits, clbits=clbits,
+                                  scdist=scdist, cdist=cdist,
                                   merge_tiles=bool(
                                       os.environ.get("MEGAVERSE_MERGE_TILES")))
     elif backend == "unroll":

@@ -113,8 +113,10 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                    bit_walk=False):
     if bit_walk:
         # compact survivor lists + packed member bitmasks (cull_bits);
-        # scalar-only control flow
-        clusters_ref, sclist_ref, clbits_ref, out_ref = rest
+        # scalar-only control flow, front-to-back with a lazily-refreshed
+        # depth bound
+        (clusters_ref, sclist_ref, clbits_ref, scdist_ref, cdist_ref,
+         out_ref) = rest
     elif super_k:
         # supercluster mode implies sorted per-tile lists + early exit
         clusters_ref, sclusters_ref, order_ref, dist_ref, out_ref = rest
@@ -689,22 +691,35 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
 
             num_groups = num_prims // cluster_k
             if bit_walk:
-                # Bit-walk traversal: the prologue (cull_bits) already decided
-                # per tile which clusters can contribute; the kernel's control
-                # flow is pure SCALAR work — bitmask word loads, shifts, and
-                # scalar conds/switches — with zero vector->scalar syncs in
-                # the loop (measured culling stats show in-kernel occlusion
-                # beyond the frustum test removes <5% of rows, so it is not
-                # worth one sync per cluster). Traversal is in TABLE ORDER,
-                # so the strict `t < bt` carry reproduces the XLA renderer's
-                # in-order scan bit-exactly.
-                row_body = make_body(row_hit, with_color=True)
-                row_body_aabb = make_body(row_hit_aabb, aabb=True)
-                row_body_rot = make_body(row_hit_rotbox)
-                row_body_ell = make_body(row_hit_ellipsoid)
-                row_body_cyl = make_body(row_hit_cylinder)
-                row_body_cone = make_body(row_hit_cone)
-                row_body_wall = make_body(row_hit_wall, with_color=True)
+                # Bit-walk traversal with a depth bound: the prologue
+                # (cull_bits) decided per tile which clusters can contribute
+                # and ordered the surviving superclusters FRONT-TO-BACK by a
+                # per-tile hit-distance lower bound. The kernel walks that
+                # list with scalar-only control flow — bitmask word loads,
+                # shifts, scalar conds/switches — and carries a SCALAR upper
+                # bound `maxt` on the tile's per-ray depths, refreshed (one
+                # vector reduction) only after a supercluster whose members
+                # actually ran. Members behind the bound skip on a pure
+                # scalar compare; the walk TERMINATES at the first listed
+                # supercluster beyond the bound (the list is ascending).
+                # Measured rationale: frustum survivors are ~50 rows/tile on
+                # hex scenes while rows reachable under the final depths are
+                # <1 (scripts/analyze_culling.py) — occlusion is the whole
+                # game, and the old per-visited-cluster jnp.any syncs are
+                # replaced by ~1-2 per-PROCESSED-supercluster reductions.
+                # Rows process out of table order, so every row body carries
+                # the winning row index: ties (t == bt) resolve to the lowest
+                # row index, exactly what in-order traversal's strict
+                # `t < bt` produces — the image is bit-identical regardless
+                # of visit order (tested).
+                row_body = make_body_tiebreak(row_hit, with_color=True)
+                row_body_aabb = make_body_tiebreak(row_hit_aabb, aabb=True)
+                row_body_rot = make_body_tiebreak(row_hit_rotbox)
+                row_body_ell = make_body_tiebreak(row_hit_ellipsoid)
+                row_body_cyl = make_body_tiebreak(row_hit_cylinder)
+                row_body_cone = make_body_tiebreak(row_hit_cone)
+                row_body_wall = make_body_tiebreak(row_hit_wall,
+                                                   with_color=True)
 
                 def run_cluster(gc, carry):
                     tag = cload(gc, 6).astype(jnp.int32)
@@ -737,28 +752,71 @@ def _render_kernel(cam_ref, prims_ref, *rest, height, width, num_prims,
                 # (== num_super) terminates. Mean list length is ~4-6, so
                 # the loop does no idle iterations at all.
                 num_super_g = num_groups // super_k
+                # Safety margin for the depth-bound compares: cdist/scdist
+                # are true geometric lower bounds (eye -> cluster-AABB
+                # distance, unit ray dirs => t of ANY member hit >= that
+                # distance) computed in f32; the 0.01 slack absorbs their
+                # few-ulp rounding, so a skipped cluster's hits satisfy
+                # t > maxt >= max(bt) STRICTLY — no `t < bt` win and no
+                # `t == bt` tie is possible. Costs ~nothing in culling power
+                # (bounds span [0, 120]).
+                SLACK = jnp.float32(0.01)
 
                 def sc_cond(state):
-                    g = state[0]
-                    return (g < num_super_g) & (
-                        sclist_ref[0, 0, tile_row, g] < num_super_g)
+                    g, maxt = state[0], state[1]
+                    gi = jnp.minimum(g, num_super_g - 1)
+                    return ((g < num_super_g)
+                            & (sclist_ref[0, 0, tile_row, g] < num_super_g)
+                            & (scdist_ref[0, 0, tile_row, gi]
+                               <= maxt + SLACK))
 
                 def sc_body(state):
-                    g = state[0]
-                    carry = state[1:]
+                    g, maxt, nproc = state[0], state[1], state[2]
+                    carry = state[3:]
                     gs = sclist_ref[0, 0, tile_row, g]
 
+                    ran = jnp.int32(0)
                     for j in range(super_k):
                         gc = gs * super_k + j
                         wc_ = clbits_ref[0, 0, tile_row, gc >> 5]
                         cb = (wc_ >> (gc & 31)) & 1
+                        ok = (cb != 0) & (cdist_ref[0, agent, gc]
+                                          <= maxt + SLACK)
                         carry = jax.lax.cond(
-                            cb != 0, functools.partial(run_cluster, gc),
+                            ok, functools.partial(run_cluster, gc),
                             lambda cc: cc, carry)
-                    return (g + 1, *carry)
+                        ran = ran | ok.astype(jnp.int32)
+                    nproc = nproc + ran
+                    # Refresh the scalar bound sparingly: every refresh is a
+                    # vector->scalar sync (pipeline drain), and almost all of
+                    # the bound's value comes from the FIRST processed
+                    # supercluster (the nearest occluder). Tiles that see far
+                    # (jump apex over the walls) process several superclusters
+                    # with no skippable tail — refreshing after each one paid
+                    # sync cost for nothing. Refresh after the 1st, 5th,
+                    # 9th, ... processed supercluster; staleness only delays
+                    # skips, never breaks correctness (maxt only ever
+                    # overestimates max(bt)).
+                    maxt = jax.lax.cond(
+                        (ran != 0) & ((nproc & 3) == 1),
+                        lambda c: jnp.max(c[0]),
+                        lambda c: maxt, carry)
+                    return (g + 1, maxt, nproc, *carry)
 
-                st = jax.lax.while_loop(sc_cond, sc_body, (jnp.int32(0), *init))
-                t, nx, ny, nz, ncode, cpk = st[1:]
+                # bt starts at the FAR plane (not +INF): hits at t >= far
+                # render as sky either way (miss test is t >= far), and a
+                # tile whose rays all miss then has maxt == far instead of
+                # an unskippable +INF bound — the exact trick the earlier
+                # early-exit path used, with the same bit-identity argument.
+                init_b = (zero + np.float32(C.CAMERA_FAR),
+                          jnp.full((TILE_H, TILE_W), num_prims, jnp.int32),
+                          *init[1:])
+                st = jax.lax.while_loop(
+                    sc_cond,
+                    sc_body,
+                    (jnp.int32(0), jnp.float32(C.CAMERA_FAR), jnp.int32(0),
+                     *init_b))
+                t, _, nx, ny, nz, ncode, cpk = st[3:]
             elif super_k:
                 # Two-level culling: the per-tile front-to-back list is over
                 # SUPERclusters (super_k consecutive clusters, AABB from
@@ -963,7 +1021,9 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                   sclusters: jax.Array | None = None,
                   merge_tiles: bool = False,
                   scbits: jax.Array | None = None,
-                  clbits: jax.Array | None = None) -> jax.Array:
+                  clbits: jax.Array | None = None,
+                  scdist: jax.Array | None = None,
+                  cdist: jax.Array | None = None) -> jax.Array:
     """cams [B, A, 8] f32, prims [B, M, 16] f32 -> packed RGB int32 [B,A,H,W].
 
     With `clusters` [B, M // CLUSTER_K, 8] (from build_clusters, which also
@@ -1025,10 +1085,11 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
                          lambda b, a, h: (b, 0, 0),
                          memory_space=pltpu.SMEM))
         if bit_walk:
-            # compact per-tile survivor lists + packed member bitmasks
-            # (cull_bits): scalar-only traversal, no distance sort, no
-            # supercluster AABB table
+            # compact per-tile front-to-back survivor lists + packed member
+            # bitmasks + depth-bound tables (cull_bits): scalar-only
+            # traversal
             assert clbits is not None and order is None and sclusters is None
+            assert scdist is not None and cdist is not None
             super_k = SUPER_K
             assert num_prims == clusters.shape[1] * cluster_k, \
                 (num_prims, clusters.shape[1])  # pad_prims_to_clusters
@@ -1038,12 +1099,18 @@ def render_packed(cams: jax.Array, prims: jax.Array, height: int, width: int,
             assert clbits.shape == (bsz, num_agents, t, -(-g // 32)), clbits.shape
             assert scbits.shape == (bsz, num_agents, t,
                                     g // super_k), scbits.shape
-            for bits in (scbits, clbits):
+            assert scdist.shape == scbits.shape, (scdist.shape, scbits.shape)
+            assert cdist.shape == (bsz, num_agents, g), cdist.shape
+            for bits in (scbits, clbits, scdist):
                 inputs.append(bits)
                 in_specs.append(
                     pl.BlockSpec((1, 1, t, bits.shape[-1]),
                                  lambda b, a, h: (b, a, 0, 0),
                                  memory_space=pltpu.SMEM))
+            inputs.append(cdist)
+            in_specs.append(
+                pl.BlockSpec((1, num_agents, g), lambda b, a, h: (b, 0, 0),
+                             memory_space=pltpu.SMEM))
         elif sclusters is not None:
             # supercluster mode: order/dist index the SC table
             assert order is not None and dist is not None and per_tile
@@ -1393,23 +1460,27 @@ def cull_bits(cams: jax.Array, clusters: jax.Array, height: int, width: int,
               super_k: int = SUPER_K,
               tile_h: int = TILE_H, tile_w: int = TILE_W,
               cluster_mask: jax.Array | None = None):
-    """Packed per-tile cluster survival bitmasks for the bit-walk kernel.
+    """Per-tile survivor lists + depth bounds for the bit-walk kernel.
 
     cams [B, A, 8], clusters [B, G, 8] (G % super_k == 0) ->
-        (scbits int32 [B, A, T, Ws], clbits int32 [B, A, T, Wc])
-    where Wc = ceil(G/32), Ws = ceil((G/super_k)/32); bit g of clbits is
-    `_tile_survive`'s conservative frustum test for cluster g, and bit s of
-    scbits is the OR over supercluster s's members (so the two levels can
-    never disagree).
+        (sclist int32 [B, A, T, S], clbits int32 [B, A, T, Wc],
+         scdist f32 [B, A, T, S], cdist f32 [B, A, G])
+    with S = G/super_k, Wc = ceil(G/32). Bit g of clbits is
+    `_tile_survive`'s conservative frustum test for cluster g. cdist[g] is
+    the eye->cluster-AABB Euclidean distance — a true lower bound on the ray
+    parameter of ANY hit against the cluster's rows (dirs are unit length),
+    the same metric sort_clusters uses. sclist is the tile's surviving
+    superclusters sorted FRONT-TO-BACK by their members' min cdist
+    (survivors only), sentinel-terminated (sentinel = S); scdist carries the
+    matching sorted bounds (+INF past the survivors).
 
-    This replaces the per-tile sorted-distance list + in-kernel occlusion
-    machinery: measured culling stats (scripts/analyze_culling.py) show
-    occlusion culling beyond the frustum test removes <5% of surviving rows
-    on every Megaverse-8 scene, while its per-cluster vector->scalar syncs
-    (jnp.any -> cond) dominated kernel time. The bit-walk kernel's control
-    flow is pure scalar work; traversal stays in TABLE ORDER (ascending
-    indices), so a strict `t < bt` carry is bit-identical to the XLA table
-    renderer's in-order scan."""
+    Measured rationale for the depth bound (scripts/analyze_culling.py,
+    HexMemory): frustum survivors are ~49 rows/tile while rows reachable
+    under the final per-ray depths are <1 — nearly all surviving work is
+    geometry occluded behind the nearest wall. The kernel consumes the
+    bounds with at most ~1-2 vector->scalar syncs per tile (vs the old
+    per-visited-cluster jnp.any syncs that made the sorted path 1.5x slower
+    end-to-end)."""
     survive = _tile_survive(cams, clusters, height, width, tile_h, tile_w)
     if cluster_mask is not None:
         # conservative per-(env, agent, cluster) visibility bits (scenario
@@ -1430,14 +1501,23 @@ def cull_bits(cams: jax.Array, clusters: jax.Array, height: int, width: int,
         # distinct powers of two per lane: wraparound int32 add == bitwise or
         return jnp.sum(sv << jnp.arange(32, dtype=jnp.int32), axis=-1)
 
-    sc = survive.reshape(survive.shape[:-1] + (g // super_k, super_k)).any(-1)
-    # Compact ascending list of surviving supercluster indices, sentinel-
-    # terminated (sentinel = num_super): the kernel walks exactly the
-    # survivors (mean ~4-6 per tile) instead of idling through every index.
-    ns = sc.shape[-1]
-    idx = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32), sc.shape)
-    sclist = jax.lax.sort(jnp.where(sc, idx, jnp.int32(ns)), dimension=-1)
-    return sclist, pack(survive)
+    # Euclidean eye->AABB distance per (env, agent, cluster): exactly
+    # sort_clusters' metric. Dead/padding clusters have degenerate AABBs but
+    # never pass the clbits test, so their value is irrelevant.
+    d = jnp.maximum(jnp.maximum(clusters[:, None, :, 0:3] - cams[:, :, None, :3],
+                                cams[:, :, None, :3] - clusters[:, None, :, 3:6]),
+                    0.0)
+    cdist = jnp.sqrt(jnp.sum(d * d, axis=-1))            # [B, A, G]
+
+    ns = g // super_k
+    # per-tile member bound: INF for non-surviving members, so a
+    # supercluster's key reflects only members the kernel could actually run
+    mdist = jnp.where(survive, cdist[:, :, None, :], INF)
+    sc_key = mdist.reshape(mdist.shape[:-1] + (ns, super_k)).min(-1)
+    idx = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32), sc_key.shape)
+    skey, order = jax.lax.sort((sc_key, idx), dimension=-1, num_keys=1)
+    sclist = jnp.where(skey < INF, order, jnp.int32(ns))
+    return sclist, pack(survive), skey, cdist
 
 
 # ---------------------------------------------------------------------------

@@ -158,6 +158,12 @@ class VectorEnv:
         # pipeline), while render dispatches depend only on their state
         # snapshot and are mutually independent — they overlap even when a
         # Pallas call has high per-execution latency (tunneled dev TPUs).
+        # NO donation here: on the split-dispatch path the render program
+        # reads the state this program produced; donating would alias the
+        # next sim step's output onto the buffer the in-flight render is
+        # still reading, forcing the runtime to serialize them — measured
+        # 14.8k -> 9.8k obs/s on HexMemory. Donation lives only on the
+        # fused/scan programs, where no other program reads the state.
         self._vstep_sim = jax.jit(self._vstep_inner,
                                   out_shardings=self._out_shard())
         self._vinit = jax.jit(
@@ -192,6 +198,13 @@ class VectorEnv:
             return jax.device_put(x, self.device)
         return jnp.asarray(x)
 
+    def _donate_state(self):
+        """donate_argnums for the EnvState arg (MEGAVERSE_NO_DONATE=1 keeps
+        the copy-on-step behavior for A/B measurement)."""
+        import os
+
+        return () if os.environ.get("MEGAVERSE_NO_DONATE") else (0,)
+
     def _out_shard(self):
         """Explicit out_shardings for jitted step/render programs when the env
         batch is sharded. Without this, GSPMD picks output layouts from
@@ -205,6 +218,14 @@ class VectorEnv:
         return self.device if isinstance(self.device, Sharding) else None
 
     # ------------------------------------------------------------- dispatch
+    # Trial schedule: 3 timed chunks per mode, interleaved so state-evolution
+    # drift (later chunks run on heavier, more evolved states) cancels
+    # between the modes instead of biasing one. The decision takes the
+    # MEDIAN per mode: a single chunk hitting a refill stall or tunnel
+    # hiccup mispicked the production mode in round 4 (TowerBuilding locked
+    # fused at 71k when split sustains 91k).
+    _DMODE_SCHEDULE = ("split", "fused", "fused", "split", "split", "fused")
+
     def _dispatch_mode(self) -> str:
         """Current (or next-trial) dispatch shape for the pallas loop path."""
         import os
@@ -223,17 +244,47 @@ class VectorEnv:
             self._dmode = "split"
             return "split"
         n = len(self._dmode_trials)
-        return "split" if n == 0 else "fused"
+        return self._DMODE_SCHEDULE[min(n, len(self._DMODE_SCHEDULE) - 1)]
+
+    def dispatch_trials_done(self) -> bool:
+        """True once the dispatch mode is locked (benchmarks keep warming up
+        until this holds so no trial chunk lands in a timed section)."""
+        return (self._dmode is not None
+                or self._use_scan_steps()
+                or self._backend != "pallas" or self._use_classes)
+
+    def _use_scan_steps(self) -> bool:
+        import os
+
+        scan_env = os.environ.get("MEGAVERSE_SCAN_STEPS")
+        if scan_env is not None:
+            return scan_env == "1"
+        from megaverse_tpu.utils.platform import is_tunneled_tpu
+
+        # CPU stays on the loop path too: tests exercise both, and scan
+        # compile times on 2-core hosts dwarf any dispatch savings.
+        return jax.default_backend() == "tpu" and not is_tunneled_tpu()
 
     def _note_dispatch_trial(self, mode: str, ms_per_step: float) -> None:
         if self._dmode is not None:
             return
         self._dmode_trials.append((mode, ms_per_step))
-        if len(self._dmode_trials) >= 2:
-            # ties go to split (the historical default); the later trial runs
-            # on slightly heavier (more evolved) states, biasing against
-            # fused by a hair — acceptable.
-            self._dmode = min(self._dmode_trials, key=lambda t: t[1])[0]
+        if len(self._dmode_trials) >= len(self._DMODE_SCHEDULE):
+            import statistics
+
+            from megaverse_tpu.utils.logging import log
+
+            med = {
+                m: statistics.median(
+                    t for mm, t in self._dmode_trials if mm == m)
+                for m in ("split", "fused")
+            }
+            # ties go to split (the historical default)
+            self._dmode = ("split" if med["split"] <= med["fused"]
+                           else "fused")
+            log().info(
+                "dispatch trial %s: split %.2f ms fused %.2f ms -> %s",
+                self.scenario.name, med["split"], med["fused"], self._dmode)
 
     # ---------------------------------------------------------------- renderer
     def _pick_backend(self) -> str:
@@ -259,7 +310,13 @@ class VectorEnv:
             return res._replace(obs=obs)
 
         self._step_render = _step_render
-        self._vstep = jax.jit(_step_render, out_shardings=self._out_shard())
+        # donate_argnums=(0,): the previous EnvState is dead after every
+        # step (self.state is replaced by the result), and donating it lets
+        # XLA update the big voxel-grid leaves in place instead of copying
+        # the whole state through HBM each step — the sim path is
+        # state-traffic-bound, not flop-bound.
+        self._vstep = jax.jit(_step_render, out_shardings=self._out_shard(),
+                              donate_argnums=self._donate_state())
         self._vrender = jax.jit(_render, out_shardings=self._out_shard())
         self._vrender_sum = jax.jit(
             lambda s: (lambda o: (o, jnp.sum(o, dtype=jnp.int32)))(_render(s)))
@@ -587,6 +644,7 @@ class VectorEnv:
                                  self._put(keys))
         self._steps_since_poll = 0
         self._pending_dones = None
+        self._deferred_refill = None
         self._update_bucket()
         if self._use_classes:
             return self._render_classes(self.state)
@@ -660,11 +718,8 @@ class VectorEnv:
         (asserted against the scenario's base episode_length_sec — per-episode
         extensions like TowerBuilding's +4 s/box only lengthen episodes).
         """
-        import os
-
         if self.state is None:
             self.reset()
-        self._refill_consumed_slots()
         min_ep_steps = int(
             float(self.scenario.cfg.params.get(C.P_EPISODE_LENGTH_SEC, 60.0))
             / self.scenario.cfg.dt)
@@ -674,17 +729,30 @@ class VectorEnv:
                 f"({min_ep_steps} steps): a layout-buffer slot could be "
                 f"consumed twice before refill; use smaller chunks")
 
-        scan_env = os.environ.get("MEGAVERSE_SCAN_STEPS")
-        if scan_env is not None:
-            use_scan = scan_env == "1"
-        else:
-            from megaverse_tpu.utils.platform import is_tunneled_tpu
+        # Refill overlap (docs/obstacles_easy_vs_hard.md lever #2): instead
+        # of refilling consumed slots synchronously BEFORE the chunk — which
+        # serializes host generation + upload + scatter between device
+        # chunks — snapshot the pending dones, dispatch the whole chunk
+        # first, then refill from the snapshot while the chunk executes on
+        # device. Correctness window: a slot consumed in chunk N is
+        # guaranteed refilled before chunk N+2 executes (the scatter is
+        # dispatched during N+1 and the N+2 step programs take the
+        # scattered buffer as a data dependency), so the shortest episode
+        # must span TWO chunks. Scenarios with episodes shorter than that
+        # keep the synchronous pre-chunk refill (window = one chunk).
+        import os
 
-            # CPU stays on the loop path too: tests exercise both, and scan
-            # compile times on 2-core hosts dwarf any dispatch savings.
-            use_scan = jax.default_backend() == "tpu" and not is_tunneled_tpu()
-        if use_scan:
-            return self._step_many_scan(jnp.asarray(action_pool, jnp.int32), n_steps)
+        overlap = (2 * n_steps < min_ep_steps
+                   and not os.environ.get("MEGAVERSE_NO_REFILL_OVERLAP"))
+        if not overlap:
+            self._refill_consumed_slots()
+
+        if self._use_scan_steps():
+            out = self._step_many_scan(
+                jnp.asarray(action_pool, jnp.int32), n_steps)
+            if overlap:
+                self._overlap_refill_tick()
+            return out
 
         mode = None
         if self._backend == "pallas" and not self._use_classes:
@@ -699,7 +767,7 @@ class VectorEnv:
                 res = self._step_render(state, next_scenes, action, shaping)
                 return res.state, res.obs, res.done, pending | res.done
 
-            self._chunk_fused = jax.jit(fused)
+            self._chunk_fused = jax.jit(fused, donate_argnums=self._donate_state() and (0, 4))
         if not hasattr(self, "_obs_sum"):
             self._obs_sum = jax.jit(lambda o: jnp.sum(o, dtype=jnp.int32))
 
@@ -743,6 +811,8 @@ class VectorEnv:
         # One checksum per chunk; it depends on the final obs, whose chain
         # covers every step in the chunk.
         csum = self._obs_sum(obs)
+        if overlap:
+            self._overlap_refill_tick()
         if t_trial is not None:
             import time as _time
 
@@ -778,7 +848,7 @@ class VectorEnv:
                 csum = jnp.sum(last_obs, dtype=jnp.int32)
                 return state, dones, csum, last_obs
 
-            self._scan_fns[key] = jax.jit(run)
+            self._scan_fns[key] = jax.jit(run, donate_argnums=self._donate_state())
 
         self.state, dones, csum, last_obs = self._scan_fns[key](
             self.state, self.next_scenes, pool, self.shaping
@@ -809,23 +879,88 @@ class VectorEnv:
 
     def _refill_consumed_slots(self) -> None:
         self._steps_since_poll = 0
-        if self._pending_dones is None:
-            return
+        self._apply_refill_bits(self._take_refill_stash())
         mask = self._pending_dones
         self._pending_dones = None
+        if mask is None:
+            return
         # Device->host transfers through the dev-TPU tunnel are extremely slow,
         # so gate on a scalar and ship a bit-packed mask instead of the bool
         # array.
         if not bool(jnp.any(mask)):
             return
+        self._apply_refill_bits(self._pack_mask(mask))
+
+    # -- refill overlap machinery (docs/obstacles_easy_vs_hard.md lever #2) --
+    # The packed done-bits of chunk N are computed as a device op queued
+    # immediately AFTER chunk N's steps and copied to the host
+    # asynchronously; they are resolved (host layout generation + upload +
+    # scatter) at the end of chunk N+1's dispatch, so the device rolls from
+    # chunk N straight into N+1 while the host prepares the refill, and the
+    # scatter lands in the stream ahead of chunk N+2 — which is the first
+    # chunk that could consume a slot freed in chunk N (the 2-chunk episode
+    # window asserted in step_many).
+    def _pack_mask(self, mask) -> jax.Array:
         pad = (-mask.shape[0]) % 8
         if pad:
             mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
-        packed_bits = jnp.sum(
-            mask.reshape(-1, 8).astype(jnp.int32) << jnp.arange(8)[None, :],
-            axis=-1).astype(jnp.uint8)
+        if not hasattr(self, "_pack_mask_fn"):
+            self._pack_mask_fn = jax.jit(lambda m: jnp.sum(
+                m.reshape(-1, 8).astype(jnp.int32) << jnp.arange(8)[None, :],
+                axis=-1).astype(jnp.uint8))
+        return self._pack_mask_fn(mask)
+
+    def _overlap_refill_tick(self) -> None:
+        """End-of-chunk overlap step: stash THIS chunk's done-bits (pack
+        queued right behind its steps + async host copy), then resolve the
+        PREVIOUS chunk's stash — whose copy needed only the previous chunk,
+        already executed or executing — into generation + upload + scatter
+        while this chunk runs on device."""
+        import os
+        import time as _t
+
+        timing = os.environ.get("MEGAVERSE_TIMING")
+        t0 = _t.perf_counter()
+        deferred = self._take_refill_stash()
+        self._stash_pending_refill()
+        t1 = _t.perf_counter()
+        self._apply_refill_bits(deferred)
+        self._steps_since_poll = 0
+        if timing:
+            print(f"[overlap] stash {1e3*(t1-t0):.1f} ms "
+                  f"apply {1e3*(_t.perf_counter()-t1):.1f} ms", flush=True)
+
+    def _stash_pending_refill(self) -> None:
+        """Queue this chunk's done-bits pack + async host copy (overlap)."""
+        mask = self._pending_dones
+        self._pending_dones = None
+        if mask is None:
+            return
+        packed = self._pack_mask(mask)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass  # backends without async copy just block in np.asarray later
+        self._deferred_refill = packed
+
+    def _take_refill_stash(self):
+        packed = getattr(self, "_deferred_refill", None)
+        self._deferred_refill = None
+        return packed
+
+    def _apply_refill_bits(self, packed_bits) -> None:
+        if packed_bits is None:
+            return
+        import os
+        import time as _t
+
+        timing = os.environ.get("MEGAVERSE_TIMING")
+        t0 = _t.perf_counter()
         dones = np.unpackbits(np.asarray(packed_bits), bitorder="little")[
             : self.num_envs]
+        if timing:
+            print(f"[refill] bits-wait {1e3*(_t.perf_counter()-t0):.1f} ms "
+                  f"n={int(dones.sum())}", flush=True)
         idx = np.nonzero(dones)[0]
         if idx.size == 0:
             return
@@ -843,7 +978,11 @@ class VectorEnv:
         # docs/obstacles_easy_vs_hard.md).
         n = idx.size
         slots = refill_slot_rung(n, self.num_envs)
+        t1 = _t.perf_counter()
         new_scenes = self._generate_batch(idx.tolist(), pad_to=slots)
+        if timing:
+            print(f"[refill] gen+upload {1e3*(_t.perf_counter()-t1):.1f} ms "
+                  f"slots={slots}", flush=True)
         idx_dev = jnp.asarray(np.concatenate(
             [idx.astype(np.int32),
              np.full((slots - n,), self.num_envs, np.int32)]))

@@ -110,9 +110,10 @@ def main() -> None:
     merge = bool(os.environ.get("MEGAVERSE_MERGE_TILES"))
 
     @jax.jit
-    def kernel(cams, prims, clusters, sclist, clbits):
+    def kernel(cams, prims, clusters, sclist, clbits, scdist, cdist):
         return RP.render_packed(cams, prims, h, w, clusters=clusters,
                                 scbits=sclist, clbits=clbits,
+                                scdist=scdist, cdist=cdist,
                                 merge_tiles=merge)
 
     @jax.jit
@@ -122,9 +123,10 @@ def main() -> None:
 
     ms_build, (cams, prims, clusters) = timeit(build, states, remaining,
                                                steps=args.steps)
-    ms_cull, (sclist, clbits) = timeit(cull, cams, clusters, steps=args.steps)
+    ms_cull, (sclist, clbits, scdist, cdist) = timeit(
+        cull, cams, clusters, steps=args.steps)
     ms_kernel, _ = timeit(kernel, cams, prims, clusters, sclist, clbits,
-                          steps=args.steps)
+                          scdist, cdist, steps=args.steps)
     ms_full, _ = timeit(full, states, remaining, steps=args.steps)
 
     n = args.num_envs * args.num_agents

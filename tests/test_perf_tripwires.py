@@ -82,7 +82,8 @@ def test_cull_bits_actually_cull():
                                       s.props, s.agents))(st)
     prims, clusters = jax.vmap(RP.build_clusters)(prims)
     clusters, _ = jax.vmap(RP.build_superclusters)(clusters)
-    sclist, clbits = RP.cull_bits(cams, clusters, cfg.obs_height, cfg.obs_width)
+    sclist, clbits, _, _ = RP.cull_bits(cams, clusters, cfg.obs_height,
+                                        cfg.obs_width)
     ns = clusters.shape[1] // RP.SUPER_K
     survivors = (np.asarray(sclist) < ns).sum(-1)  # per (env, agent, tile)
     assert survivors.mean() < 0.35 * ns, (

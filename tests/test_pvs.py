@@ -251,15 +251,18 @@ def test_pvs_cluster_mask_bit_identity():
         "PVS mask culled no clusters: test has no teeth"
 
     h, w = cfg.obs_height, cfg.obs_width
-    sc0, cl0 = RP.cull_bits(cams, clusters, h, w)
-    sc1, cl1 = RP.cull_bits(cams, clusters, h, w, cluster_mask=cluster_mask)
+    sc0, cl0, sd0, cd0 = RP.cull_bits(cams, clusters, h, w)
+    sc1, cl1, sd1, cd1 = RP.cull_bits(cams, clusters, h, w,
+                                      cluster_mask=cluster_mask)
     assert (np.asarray(cl0) != np.asarray(cl1)).any(), \
         "cluster_mask did not change the survival bits"
 
     img0 = np.asarray(RP.render_packed(cams, prims, h, w, clusters=clusters,
                                        scbits=sc0, clbits=cl0,
+                                       scdist=sd0, cdist=cd0,
                                        interpret=True))
     img1 = np.asarray(RP.render_packed(cams, prims, h, w, clusters=clusters,
                                        scbits=sc1, clbits=cl1,
+                                       scdist=sd1, cdist=cd1,
                                        interpret=True))
     np.testing.assert_array_equal(img1, img0)

@@ -170,7 +170,7 @@ def test_pallas_cluster_cull_is_exact(scenario):
     # ...and the bit-walk path (packed per-tile survival bitmasks, scalar-only
     # in-kernel control flow — the production default, MEGAVERSE_RENDER_MODE).
     prims_b = jax.vmap(RP.pad_prims_to_clusters)(prims_p, clusters_p)
-    scbits, clbits = RP.cull_bits(
+    scbits, clbits, scdist, cdist = RP.cull_bits(
         cams, clusters_p, cfg.obs_height, cfg.obs_width)
     # real culling happens: some tiles drop some live clusters
     popcount = np.array([bin(int(w) & 0xFFFFFFFF).count("1")
@@ -178,7 +178,8 @@ def test_pallas_cluster_cull_is_exact(scenario):
     assert popcount < np.prod(clbits.shape[:3]) * clusters_p.shape[1]
     bits = np.asarray(RP.render_packed(
         cams, prims_b, cfg.obs_height, cfg.obs_width, clusters=clusters_p,
-        scbits=scbits, clbits=clbits, interpret=True))
+        scbits=scbits, clbits=clbits, scdist=scdist, cdist=cdist,
+        interpret=True))
     np.testing.assert_array_equal(bits, plain)
 
     # Cross-backend (kernel vs XLA table): same math, but interpret-mode op
