@@ -279,9 +279,13 @@ class VectorEnv:
                     t for mm, t in self._dmode_trials if mm == m)
                 for m in ("split", "fused")
             }
-            # ties go to split (the historical default)
-            self._dmode = ("split" if med["split"] <= med["fused"]
-                           else "fused")
+            # Near-ties go to split (the historical default): trial chunks
+            # carry a few % of noise even as medians, and a mispicked mode
+            # costs the whole run (Rearrange r5: fused "won" by 0.7% in
+            # trials, then timed 4% slower). fused must win by >3% to
+            # displace split.
+            self._dmode = ("fused" if med["fused"] < 0.97 * med["split"]
+                           else "split")
             log().info(
                 "dispatch trial %s: split %.2f ms fused %.2f ms -> %s",
                 self.scenario.name, med["split"], med["fused"], self._dmode)

@@ -69,13 +69,21 @@ def main() -> None:
     shaping = jnp.asarray(
         np.tile(scen.shaping_array()[None], (args.num_envs, 1, 1)))
 
+    def _fence(out):
+        # On the tunneled axon platform, block_until_ready of results whose
+        # graph contains certain custom calls can resolve before execution
+        # finishes; a concrete scalar VALUE fetch cannot (same fence
+        # bench.py / profile_render_stages.py use).
+        leaf = jax.tree.leaves(out)[-1]
+        return float(jnp.real(jnp.ravel(leaf)[0].astype(jnp.float32)))
+
     def timeit(name, fn, *fargs, reps=None):
         reps = reps or max(args.iters, 3)
-        jax.block_until_ready(fn(*fargs))  # warm/compile
+        _fence(fn(*fargs))  # warm/compile
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*fargs)
-        jax.block_until_ready(out)
+        _fence(out)
         dt = (time.perf_counter() - t0) / reps
         print(f"{name:26s} {dt*1e3:10.2f} ms", flush=True)
         return dt
