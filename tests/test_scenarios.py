@@ -149,9 +149,12 @@ def test_collect_reward_pickup():
 
 def test_boxagone_tile_expires():
     """Standing on a tile arms it; it disappears after 15 ticks."""
+    from megaverse_tpu.scenarios.box_a_gone import tile_cell
+
     s, state = _single_env("BoxAGone", seed=4)
     sc = state.scen
-    t0 = int(np.nonzero(np.asarray(sc.tile_active))[0][0])
+    t0 = 0  # tiles are stored in generation order; tile 0 always exists
+    cell0 = tile_cell(sc, t0)
     voxel = np.asarray(sc.tile_voxel)[t0]
     # stand on top of the tile voxel (voxel size 2)
     apos = jnp.asarray([[(voxel[0] + 0.5) * 2, (voxel[1] + 1) * 2 + C.AGENT_HALF_HEIGHT,
@@ -163,7 +166,7 @@ def test_boxagone_tile_expires():
     for i in range(16):
         state, rew = s.scen_step(state, act, shaping)
         state = state.replace(agents=state.agents.replace(on_ground=jnp.asarray([True])))
-    assert not bool(np.asarray(state.scen.tile_active)[t0])
+    assert not bool(np.asarray(state.scen.tile_active).reshape(-1)[cell0])
     # voxel no longer solid
     cols = np.asarray(state.cols)
     x, y, z = voxel
@@ -362,24 +365,29 @@ def test_boxagone_sequential_same_tick_arming():
     sequential, so if agent 0 arms tile T (15 ticks) and agent 1 LEAVES T in
     the same tick, agent 1's previous-tile acceleration clips the fresh
     timer to 3. A parallel clip-then-arm pass would leave it at 15."""
+    from megaverse_tpu.scenarios.box_a_gone import num_tiles, tile_cell
+
     s, state = _single_env("BoxAGone", seed=3, num_agents=2)
     sc = state.scen
     tv = np.asarray(sc.tile_voxel)
-    active = np.asarray(sc.tile_active)
+    n = num_tiles(sc)
+    cells = np.asarray([tile_cell(sc, t) for t in range(n)])
+    active = np.asarray(sc.tile_active).reshape(-1)[cells]  # per tile index
     # two adjacent active tiles on the same level
     t_T = t_U = None
     for i in np.nonzero(active)[0]:
-        j = np.nonzero(active & (tv[:, 1] == tv[i, 1])
-                       & (np.abs(tv[:, 0] - tv[i, 0])
-                          + np.abs(tv[:, 2] - tv[i, 2]) == 1))[0]
+        j = np.nonzero(active & (tv[:n, 1] == tv[i, 1])
+                       & (np.abs(tv[:n, 0] - tv[i, 0])
+                          + np.abs(tv[:n, 2] - tv[i, 2]) == 1))[0]
         if j.size:
             t_T, t_U = int(i), int(j[0])
             break
     assert t_T is not None
+    cell_T, cell_U = int(cells[t_T]), int(cells[t_U])
     VOXEL = 2.0
     # agent 0 arrives on T this tick (last_tile -1, unarmed T); agent 1 was
     # standing on T and arrives on U this tick
-    sc = sc.replace(last_tile=jnp.asarray([-1, t_T], jnp.int32),
+    sc = sc.replace(last_tile=jnp.asarray([-1, cell_T], jnp.int32),
                     tile_ticks=jnp.full_like(sc.tile_ticks, -1))
     top = lambda t: jnp.asarray([
         (tv[t][0] + 0.5) * VOXEL, (tv[t][1] + 1) * VOXEL + C.AGENT_HALF_HEIGHT,
@@ -391,12 +399,12 @@ def test_boxagone_sequential_same_tick_arming():
             pos=apos, on_ground=jnp.asarray([True, True])))
     shaping = jnp.asarray(s.shaping_array())
     st2, _ = s.scen_step(state, jnp.zeros((2,), jnp.int32), shaping)
-    ticks2 = np.asarray(st2.scen.tile_ticks)
+    ticks2 = np.asarray(st2.scen.tile_ticks).reshape(-1)
     # T was armed at 15 by agent 0, clipped to 3 by agent 1's departure,
     # then ticked down once -> 2; U armed at 15 -> 14.
-    assert ticks2[t_T] == 2
-    assert ticks2[t_U] == 14
-    assert np.asarray(st2.scen.last_tile).tolist() == [t_T, t_U]
+    assert ticks2[cell_T] == 2
+    assert ticks2[cell_U] == 14
+    assert np.asarray(st2.scen.last_tile).tolist() == [cell_T, cell_U]
 
 
 def test_football_rigid_body_roll_and_no_bounce():
