@@ -146,8 +146,7 @@ class _Task:
             return any(n > b for n, b in zip(self._hw_props, self.bucket[1]))
         return self._hw_props > self.bucket[1]
 
-    def gen_batch(self, idx):
-        scenes = [self.scenario.generate_checked(self.gens[i]) for i in idx]
+    def _note_high_water(self, scenes) -> None:
         for sc in scenes:
             self._hw_boxes = max(
                 self._hw_boxes, int((np.asarray(sc.box_color) > 0).sum()))
@@ -159,46 +158,84 @@ class _Task:
             else:
                 self._hw_props = max(
                     self._hw_props, int((types != C.PROP_NONE).sum()))
+
+    def gen_batch(self, idx):
+        scenes = [self.scenario.generate_checked(self.gens[i]) for i in idx]
+        self._note_high_water(scenes)
         return jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *scenes)
 
     def refill(self, rollout: int) -> None:
-        nf = np.asarray(self.ls.env_state.num_frames)
-        idx = np.nonzero(nf < 4 * rollout)[0]
-        if idx.size:
-            # Fixed slot ladder + one cached jitted scatter per slot size
-            # (same machinery as VectorEnv._apply_refill_bits): done counts
-            # vary per rollout, and an unpadded .at[idx].set is a fresh
-            # multi-second tunnel compile per DISTINCT count — measured as
-            # the dominant term of the r4 BoxAGone training loop (1.5k
-            # env-steps/s actual vs 7.7k device-profiled).
-            from megaverse_tpu.vector_env import refill_slot_rung
+        # Resolve the PREVIOUS rollout's async generation first: its scatter
+        # lands in the stream before the step after next, and an env that
+        # reset during rollout k cannot reset again before rollout k+3
+        # (episodes span >= 3 rollouts), so the one-rollout delay is safe.
+        # (Degenerate early-finish episodes shorter than 2 rollouts replay
+        # their buffered layout once — same exposure the synchronous refill
+        # had between its polls.)
+        if getattr(self, "_pending_refill", None) is not None:
+            idx, new_np = self._pending_refill.result()
+            self._pending_refill = None
+            self._apply_refill(idx, new_np)
 
-            n = idx.size
-            slots = refill_slot_rung(n, self.num_envs)
-            new = self.gen_batch(idx.tolist())
-            if slots > n:
-                new = jax.tree.map(
-                    lambda x: jnp.concatenate(
-                        [x, jnp.repeat(x[:1], slots - n, axis=0)]), new)
-            idx_dev = jnp.asarray(np.concatenate(
-                [idx.astype(np.int32),
-                 np.full((slots - n,), self.num_envs, np.int32)]))
-            if not hasattr(self, "_scatter_fns"):
-                self._scatter_fns = {}
-            if slots not in self._scatter_fns:
-                self._scatter_fns[slots] = jax.jit(
-                    lambda buf, nn, ii: jax.tree.map(
-                        lambda b, x: b.at[ii].set(x, mode="drop"), buf, nn))
-            self.next_scenes = self._scatter_fns[slots](
-                self.next_scenes, new, idx_dev)
-            if self._bucket_grew():
-                self.bucket = self._bucket_for(margin=1.5)
-                learner = Learner(self.scenario, self.num_envs, self.cfg,
-                                  render_bucket=self.bucket)
-                self.plearner = ParallelLearner(learner, self.mesh)
-                print(f"[{self.name}] render bucket grew to {self.bucket}; "
-                      "train step will recompile", flush=True)
+        nf = np.asarray(self.ls.env_state.num_frames)
+        # exactly the envs that reset DURING this rollout (consumed their
+        # buffered layout): nf < rollout. The old `nf < 4*rollout` window
+        # re-generated ~every env every rollout on short-episode scenarios
+        # (BoxAGone: 1024 x 2.1 ms of host gen per 2.2 s train step).
+        idx = np.nonzero(nf < rollout)[0]
+        if idx.size:
+            if getattr(self, "_gen_pool", None) is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                # single worker: per-env generator streams advance in
+                # submission order, keeping layouts deterministic
+                self._gen_pool = ThreadPoolExecutor(
+                    1, thread_name_prefix=f"gen-{self.name}")
+            self._pending_refill = self._gen_pool.submit(
+                lambda ii: (ii, self.gen_batch_np(ii)), idx.tolist())
+
+    def gen_batch_np(self, idx):
+        """gen_batch, stacked host-side (worker thread; no device calls)."""
+        scenes = [self.scenario.generate_checked(self.gens[i]) for i in idx]
+        self._note_high_water(scenes)
+        return jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *scenes)
+
+    def _apply_refill(self, idx, new_np) -> None:
+        # Fixed slot ladder + one cached jitted scatter per slot size (same
+        # machinery as VectorEnv._apply_refill_bits): done counts vary per
+        # rollout, and an unpadded .at[idx].set is a fresh multi-second
+        # tunnel compile per DISTINCT count — measured as the dominant term
+        # of the r4 BoxAGone training loop.
+        from megaverse_tpu.vector_env import refill_slot_rung
+
+        idx = np.asarray(idx)
+        n = idx.size
+        slots = refill_slot_rung(n, self.num_envs)
+        if slots > n:
+            new_np = jax.tree.map(
+                lambda x: np.concatenate(
+                    [x, np.repeat(x[:1], slots - n, axis=0)]), new_np)
+        new = jax.tree.map(jnp.asarray, new_np)
+        idx_dev = jnp.asarray(np.concatenate(
+            [idx.astype(np.int32),
+             np.full((slots - n,), self.num_envs, np.int32)]))
+        if not hasattr(self, "_scatter_fns"):
+            self._scatter_fns = {}
+        if slots not in self._scatter_fns:
+            self._scatter_fns[slots] = jax.jit(
+                lambda buf, nn, ii: jax.tree.map(
+                    lambda b, x: b.at[ii].set(x, mode="drop"), buf, nn))
+        self.next_scenes = self._scatter_fns[slots](
+            self.next_scenes, new, idx_dev)
+        if self._bucket_grew():
+            self.bucket = self._bucket_for(margin=1.5)
+            learner = Learner(self.scenario, self.num_envs, self.cfg,
+                              render_bucket=self.bucket)
+            self.plearner = ParallelLearner(learner, self.mesh)
+            print(f"[{self.name}] render bucket grew to {self.bucket}; "
+                  "train step will recompile", flush=True)
 
 
 def resolve_task_list(env_name: str):
