@@ -26,3 +26,7 @@ enable_compile_cache()
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running integration test")
+    config.addinivalue_line(
+        "markers",
+        "render_heavy: CPU/interpret-mode render tests dominating suite "
+        "wall-time (fast tier: -m 'not slow and not render_heavy')")

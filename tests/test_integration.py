@@ -21,6 +21,7 @@ def _rss_mb() -> float:
     return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
 
 
+@pytest.mark.render_heavy
 def test_memleak_watch():
     from megaverse_tpu.vector_env import VectorEnv
 
@@ -110,6 +111,7 @@ def test_enjoy_playback_with_checkpoint(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.render_heavy
 def test_step_many_scan_packed_and_rgb():
     """lax.scan chunk mode must be carry-type-stable for both obs formats."""
     os.environ["MEGAVERSE_SCAN_STEPS"] = "1"
@@ -131,6 +133,7 @@ def test_step_many_scan_packed_and_rgb():
         os.environ.pop("MEGAVERSE_SCAN_STEPS", None)
 
 
+@pytest.mark.render_heavy
 def test_bench_fence_checksum_is_data_dependent():
     """The bench timing fence fetches the step_many checksum VALUE
     (bench.py): that is a sound fence only if the scalar is data-dependent

@@ -33,6 +33,7 @@ def _env_state(name="Collect", num_envs=2, num_agents=2, seed=7, steps=3):
     return env
 
 
+@pytest.mark.render_heavy
 def test_packed_equals_stacked_rgb():
     env = _env_state()
     st = env.state
@@ -55,6 +56,7 @@ def test_unroll_equals_table_backend():
     np.testing.assert_array_equal(u, x)
 
 
+@pytest.mark.render_heavy
 def test_single_agent_row_skip_is_invisible():
     """A==1 drops the own body/eye rows; the image must match a table that
     keeps them (they are always inside-culled for the own camera)."""
@@ -95,14 +97,19 @@ def test_overview_camera_shows_agent_body():
 
 
 @pytest.mark.parametrize("scenario", ["Collect", "HexMemory"])
+@pytest.mark.render_heavy
 def test_pallas_cluster_cull_is_exact(scenario):
     """The cluster-culled Pallas kernel (interpret mode) must produce exactly
     the same packed pixels as the unculled kernel and the XLA table backend:
     culling may only skip primitives that cannot beat the current closest
     hit. HexMemory covers rotated-box walls + cylinder/cone/sphere props."""
+    import dataclasses
+
     env = _env_state(name=scenario, num_envs=2, num_agents=2, steps=3)
     st = env.state
-    cfg = env.scenario.cfg
+    # The culling contracts are resolution-independent; 24 px keeps 3 tile
+    # rows (multi-tile traversal) at 1/3 the interpret-mode ray cost.
+    cfg = dataclasses.replace(env.scenario.cfg, obs_height=24)
     remaining = jnp.maximum(
         0.0, (st.episode_len_sec - st.episode_sec) / st.episode_len_sec)
     prims = jax.vmap(
@@ -256,6 +263,7 @@ def test_frustum_cull_is_conservative():
                 assert not bad, (b, a, py, px, bad)
 
 
+@pytest.mark.render_heavy
 def test_cluster_table_bounds_are_conservative():
     """Every live row's exact hit distances must be reachable through its
     cluster AABB: shrink-proof check on randomly sampled rays."""

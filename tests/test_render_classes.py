@@ -42,6 +42,7 @@ def _rollout(name, classes_on, num_envs=64, steps=8, seed=31, **params):
         os.environ.pop("MEGAVERSE_NO_CLASSES", None)
 
 
+@pytest.mark.render_heavy
 def test_classes_match_full_render_with_resets(monkeypatch):
     """Forced-on classes over short episodes (refill + consume-buffer path)."""
     monkeypatch.setattr(VectorEnv, "_CLASS_MIN_ROWS", 0)
@@ -55,11 +56,16 @@ def test_classes_match_full_render_with_resets(monkeypatch):
     np.testing.assert_array_equal(r_full, r_cls)
 
 
+@pytest.mark.render_heavy
 def test_classes_multi_group_collect():
-    """Collect's heavy-tailed layouts split into several padded groups."""
-    f_full, _, used, _ = _rollout("Collect", False, steps=3, seed=13)
+    """Collect's heavy-tailed layouts split into several padded groups.
+    One step suffices: the reset frame + one stepped frame cover the
+    gather->render->inverse-permutation path for every group (CPU renders
+    of 64 heavy Collect layouts are the suite's slowest item — was 485 s
+    at steps=3)."""
+    f_full, _, used, _ = _rollout("Collect", False, steps=1, seed=13)
     assert not used
-    f_cls, _, used, groups = _rollout("Collect", True, steps=3, seed=13)
+    f_cls, _, used, groups = _rollout("Collect", True, steps=1, seed=13)
     assert used and len(groups) >= 2
     np.testing.assert_array_equal(f_full, f_cls)
 
