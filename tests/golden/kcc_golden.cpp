@@ -438,5 +438,20 @@ int main() {
         runScene("corner_graze", w,
                  V3(1.05545636f, H, 0.29809704f), -0.78539816f, a);
     }
+    // 9. high-ledge brush: an overhead slab whose bottom (y=1.62) sits in
+    //    the capsule's rounded-TOP band (cylinder top at 1.38 < 1.62 <
+    //    apex 1.71). The true convex shape contacts the slab's lower edge
+    //    at the reduced horizontal reach sqrt(r^2 - 0.24^2) = 0.2265 m,
+    //    where a full-[bottom,top]-extent footprint stops at the full
+    //    radius 0.33 — this scene BOUNDS the engine's last footprint
+    //    approximation (ops/physics.py end-sphere note): expected steady
+    //    divergence r - sqrt(r^2 - dy^2) = 0.104 m.
+    {
+        std::vector<Box> w = {{V3(-20, -1, -20), V3(20, 0, 20)},
+                              {V3(-20, 1.62f, -4), V3(20, 3, -3)}};
+        std::vector<int> a;
+        for (int i = 0; i < 45; ++i) a.push_back(Forward);
+        runScene("high_ledge_brush", w, V3(0.5f, H, 0.5f), 0.0f, a);
+    }
     return 0;
 }

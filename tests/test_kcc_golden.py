@@ -68,6 +68,14 @@ WORLDS = {
     "ledge_fall": [(-20, -1, -5, 20, 0, 20), (-20, -4, -20, 20, -3, -5)],
     "corner_head_on": [FLOOR, (3, 0, -3, 4, 3, -2)],
     "corner_graze": [FLOOR, (3, 0, -3, 4, 3, -2)],
+    "high_ledge_brush": [FLOOR],  # the non-voxel-aligned slab is an OBB
+}
+
+# Non-voxel-aligned bodies expressed through the exact OBB collision path
+# (player_step obbs=...): rows (cx, cy, cz, hx, hy, hz, yaw). The
+# high-ledge slab spans y in [1.62, 3], z in [-4, -3].
+OBB_WORLDS = {
+    "high_ledge_brush": [(0.0, 2.31, -3.5, 20.0, 0.69, 0.5, 0.0)],
 }
 
 ACTIONS = {
@@ -82,6 +90,7 @@ ACTIONS = {
 ACTIONS["ledge_fall"] = [C.ACTION_FORWARD] * 55
 ACTIONS["corner_head_on"] = [C.ACTION_FORWARD] * 50
 ACTIONS["corner_graze"] = [C.ACTION_FORWARD] * 50
+ACTIONS["high_ledge_brush"] = [C.ACTION_FORWARD] * 45
 
 # Per-scene tolerance on position (meters). Face-contact scenes are tight
 # (float drift + the 1e-3 sweep margin); the corner scene allows the
@@ -102,6 +111,12 @@ POS_TOL = {
     # (measured maxima 0.00071 / 0.00100)
     "corner_head_on": 2e-3,
     "corner_graze": 2e-3,
+    # BOUNDS the engine's last footprint approximation (the full
+    # [bottom, top] vertical extent blocks horizontally where the true
+    # capsule's rounded TOP reaches only sqrt(r^2 - dy^2)): at slab bottom
+    # 1.62 the analytic steady divergence is r - sqrt(r^2 - 0.24^2)
+    # = 0.104 m, and this scene pins the measured value below 0.12.
+    "high_ledge_brush": 0.12,
 }
 
 
@@ -119,6 +134,8 @@ def run_python(name):
     sc = parse_golden()[name]
     cfg, vt = build_grid(WORLDS[name])
     cols = G.pack_solid_columns(cfg, vt)
+    obbs = (jnp.asarray(OBB_WORLDS[name], jnp.float32)
+            if name in OBB_WORLDS else None)
     agents = AgentState.create(1).replace(
         pos=jnp.asarray([sc["start"]], jnp.float32),
         yaw=jnp.asarray([sc["yaw"]], jnp.float32),
@@ -127,7 +144,7 @@ def run_python(name):
     @jax.jit
     def tick(agents, action):
         agents = P.apply_acceleration(agents, action, DT)
-        return P.player_step(cfg, None, agents, DT, cols=cols)
+        return P.player_step(cfg, None, agents, DT, cols=cols, obbs=obbs)
 
     out = []
     for a in ACTIONS[name]:
